@@ -1,0 +1,183 @@
+"""Full depth-estimation models (Flax linen, NHWC).
+
+Composition parity with the reference experiment modules:
+  * ``DepthModel``        — SimpleRecon (reference:
+    src/doubletake/experiment_modules/sr_depth_model.py:38-435);
+  * ``DepthModelCVHint``  — DoubleTake, same skeleton with the mesh-hint
+    volume and a hint dict input (reference:
+    src/doubletake/experiment_modules/doubletake_model.py:265-425).
+
+Differences by design (TPU-native):
+  * NHWC everywhere; data dicts use *_bhw3 / *_bhw1 names.
+  * The torch "unbatched matching encoder" test path existed to dodge batch-
+    dependent batchnorm nondeterminism; JAX inference BN uses running stats,
+    so batched == unbatched and no special path is needed.
+  * Horizontal-flip train augmentation is a static ``flip`` argument: images
+    are flipped for the encoders, matching features are flipped back for MVS,
+    and the cost volume output is re-flipped so it aligns with the flipped
+    image-prior features (sr_depth_model.py:275-435 ordering).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from doubletake_tpu.models.backbones import (
+    ResnetMatchingEncoder,
+    encoder_feature_channels,
+    get_image_encoder,
+)
+from doubletake_tpu.models.cost_volume import get_volume_class
+from doubletake_tpu.models.decoders import CVEncoder, DepthDecoderPP, SkipDecoderRegression
+
+
+class DepthModel(nn.Module):
+    """SimpleRecon-style MVS depth model.
+
+    Config mirrors the reference Options fields of the same names.
+    """
+
+    image_encoder_name: str = "efficientnet"
+    depth_decoder_name: str = "unet_pp"
+    feature_volume_type: str = "mlp_feature_volume"
+    matching_scale: int = 1
+    matching_num_depth_bins: int = 64
+    matching_feature_dims: int = 16
+    model_num_views: int = 8
+    min_matching_depth: float = 0.25
+    max_matching_depth: float = 5.0
+    plane_chunk: int = 16
+
+    def setup(self):
+        self.encoder = get_image_encoder(self.image_encoder_name)
+        self.matching_model = ResnetMatchingEncoder(self.matching_feature_dims)
+        self.cost_volume = get_volume_class(self.feature_volume_type)(
+            num_depth_bins=self.matching_num_depth_bins,
+            plane_chunk=self.plane_chunk,
+        )
+        self.cost_volume_net = CVEncoder(num_ch_outs=(64, 128, 256, 384))
+        if self.depth_decoder_name == "unet_pp":
+            self.depth_decoder = DepthDecoderPP()
+        elif self.depth_decoder_name == "skip":
+            self.depth_decoder = SkipDecoderRegression()
+        else:
+            raise ValueError(f"Unknown decoder {self.depth_decoder_name}")
+
+    def __call__(
+        self,
+        cur_data: Dict[str, Any],
+        src_data: Dict[str, Any],
+        train: bool = False,
+        flip: bool = False,
+        return_mask: bool = False,
+        hint: Optional[Dict[str, Any]] = None,
+    ):
+        """Forward pass.
+
+        cur_data: dict with "image_bhw3", "cam_T_world_b44", "world_T_cam_b44",
+            f"invK_s{matching_scale}_b44".
+        src_data: dict with "image_bkhw3" (B, k, H, W, 3), "cam_T_world_bk44",
+            "world_T_cam_bk44", f"K_s{matching_scale}_bk44".
+        """
+        cur_image = cur_data["image_bhw3"]
+        src_image = src_data["image_bkhw3"]
+        src_K = src_data[f"K_s{self.matching_scale}_bk44"]
+        cur_invK = cur_data[f"invK_s{self.matching_scale}_b44"]
+
+        # relative transforms (fp32, autocast-off in the reference)
+        src_cam_T_cur_cam = jnp.einsum(
+            "bkij,bjl->bkil",
+            src_data["cam_T_world_bk44"],
+            cur_data["world_T_cam_b44"],
+        )
+        cur_cam_T_src_cam = jnp.einsum(
+            "bij,bkjl->bkil",
+            cur_data["cam_T_world_b44"],
+            src_data["world_T_cam_bk44"],
+        )
+
+        if flip:
+            cur_image = jnp.flip(cur_image, axis=2)
+            src_image = jnp.flip(src_image, axis=3)
+
+        cur_feats = self.encoder(cur_image, train=train)
+
+        # matching features for cur + all src views in one batch
+        b, k = src_image.shape[:2]
+        all_images = jnp.concatenate([cur_image[:, None], src_image], axis=1)
+        all_feats = self.matching_model(
+            all_images.reshape((b * (k + 1),) + all_images.shape[2:]), train=train
+        )
+        all_feats = all_feats.reshape((b, k + 1) + all_feats.shape[1:])
+        matching_cur_feats = all_feats[:, 0]
+        matching_src_feats = all_feats[:, 1:]
+
+        if flip:
+            matching_cur_feats = jnp.flip(matching_cur_feats, axis=2)
+            matching_src_feats = jnp.flip(matching_src_feats, axis=3)
+
+        cost_volume_bhwd, lowest_cost_bhw, _, overall_mask_bhw = self.cost_volume(
+            matching_cur_feats,
+            matching_src_feats,
+            src_cam_T_cur_cam,
+            cur_cam_T_src_cam,
+            src_K,
+            cur_invK,
+            self.min_matching_depth,
+            self.max_matching_depth,
+            hint=hint,
+            return_mask=return_mask,
+        )
+
+        if flip:
+            cost_volume_bhwd = jnp.flip(cost_volume_bhwd, axis=2)
+
+        cv_feats = self.cost_volume_net(
+            cost_volume_bhwd, cur_feats[self.matching_scale:]
+        )
+        decoder_inputs = list(cur_feats[: self.matching_scale]) + cv_feats
+
+        outputs = dict(self.depth_decoder(decoder_inputs))
+        for key in list(outputs.keys()):
+            log_depth = outputs[key].astype(jnp.float32)
+            if flip:
+                log_depth = jnp.flip(log_depth, axis=2)
+            outputs[key] = log_depth
+            outputs[key.replace("log_", "")] = jnp.exp(log_depth)
+
+        outputs["lowest_cost_bhw"] = lowest_cost_bhw
+        outputs["overall_mask_bhw"] = overall_mask_bhw
+        return outputs
+
+
+class DepthModelCVHint(DepthModel):
+    """DoubleTake: DepthModel with the mesh-hint feature volume."""
+
+    feature_volume_type: str = "mlp_mesh_hint_feature_volume"
+
+    def __call__(self, cur_data, src_data, train=False, flip=False, return_mask=False,
+                 hint=None):
+        if hint is None:
+            # empty hints: invalid everywhere (reference feeds all-invalid
+            # hint tensors when no mesh exists yet)
+            b, h, w, _ = cur_data["image_bhw3"].shape
+            zero = jnp.zeros((b, h, w, 1), jnp.float32)
+            hint = {
+                "depth_hint_bhw1": zero,
+                "hint_mask_bhw1": zero.astype(bool),
+                "sampled_weights_bhw1": zero,
+            }
+        return super().__call__(
+            cur_data, src_data, train=train, flip=flip, return_mask=return_mask, hint=hint
+        )
+
+
+def get_model_class(model_type: str):
+    """Model registry (reference utils/model_utils.py:10-17)."""
+    return {
+        "depth_model": DepthModel,
+        "cv_hint_depth_model": DepthModelCVHint,
+    }[model_type]

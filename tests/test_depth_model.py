@@ -1,0 +1,108 @@
+"""Smoke + shape tests for the composed depth models."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from doubletake_tpu.models.depth_model import DepthModelCVHint, get_model_class
+
+B, K, H, W = 1, 2, 64, 96
+
+
+def make_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    Km = np.eye(4, dtype=np.float32)
+    Km[0, 0] = Km[1, 1] = 40.0
+    Km[0, 2], Km[1, 2] = W / 2, H / 2
+    K_s1 = Km.copy()
+    K_s1[:2] /= 4.0  # matching scale 1 = quarter res of the image
+
+    def pose(i):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.1 * i
+        return T
+
+    cur_data = {
+        "image_bhw3": jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+        "cam_T_world_b44": jnp.asarray(pose(0))[None],
+        "world_T_cam_b44": jnp.asarray(np.linalg.inv(pose(0)))[None],
+        "invK_s1_b44": jnp.asarray(np.linalg.inv(K_s1))[None],
+    }
+    src_data = {
+        "image_bkhw3": jnp.asarray(rng.randn(B, K, H, W, 3).astype(np.float32)),
+        "cam_T_world_bk44": jnp.asarray(np.stack([pose(i + 1) for i in range(K)]))[None],
+        "world_T_cam_bk44": jnp.asarray(
+            np.stack([np.linalg.inv(pose(i + 1)) for i in range(K)])
+        )[None],
+        "K_s1_bk44": jnp.asarray(np.stack([K_s1] * K))[None],
+    }
+    return cur_data, src_data
+
+
+@pytest.mark.parametrize(
+    "model_type,encoder,decoder",
+    [
+        ("depth_model", "efficientnet", "unet_pp"),
+        ("cv_hint_depth_model", "efficientnet", "unet_pp"),
+        ("cv_hint_depth_model", "resnet18d", "skip"),
+    ],
+)
+def test_forward_shapes(model_type, encoder, decoder):
+    cur_data, src_data = make_batch()
+    model = get_model_class(model_type)(
+        image_encoder_name=encoder,
+        depth_decoder_name=decoder,
+        matching_num_depth_bins=16,
+        plane_chunk=8,
+        model_num_views=K + 1,
+    )
+    variables = model.init(jax.random.PRNGKey(0), cur_data, src_data)
+    out = model.apply(variables, cur_data, src_data, return_mask=True)
+
+    # s0 at half input res, s3 at 1/16
+    assert out["depth_pred_s0_bhw1"].shape == (B, H // 2, W // 2, 1)
+    assert out["depth_pred_s3_bhw1"].shape == (B, H // 16, W // 16, 1)
+    assert out["lowest_cost_bhw"].shape == (B, H // 4, W // 4)
+    assert out["overall_mask_bhw"].shape == (B, H // 4, W // 4)
+    assert np.all(np.isfinite(np.asarray(out["depth_pred_s0_bhw1"])))
+    assert np.all(np.asarray(out["depth_pred_s0_bhw1"]) > 0)
+
+
+def test_hint_changes_output():
+    cur_data, src_data = make_batch()
+    model = DepthModelCVHint(
+        matching_num_depth_bins=16, plane_chunk=8, model_num_views=K + 1
+    )
+    variables = model.init(jax.random.PRNGKey(1), cur_data, src_data)
+    out_empty = model.apply(variables, cur_data, src_data)
+
+    hint = {
+        "depth_hint_bhw1": jnp.full((B, H, W, 1), 2.0),
+        "hint_mask_bhw1": jnp.ones((B, H, W, 1), bool),
+        "sampled_weights_bhw1": jnp.full((B, H, W, 1), 0.8),
+    }
+    out_hint = model.apply(variables, cur_data, src_data, hint=hint)
+    diff = np.abs(
+        np.asarray(out_hint["depth_pred_s0_bhw1"]) - np.asarray(out_empty["depth_pred_s0_bhw1"])
+    ).max()
+    assert diff > 1e-6  # hints must flow into the prediction
+
+
+def test_flip_equivariance_of_volume_path():
+    # flipping inputs with flip=True must give (nearly) the same depth as
+    # flip=False — the careful flip plumbing keeps MVS geometry intact
+    cur_data, src_data = make_batch()
+    model = DepthModelCVHint(
+        matching_num_depth_bins=16, plane_chunk=8, model_num_views=K + 1
+    )
+    variables = model.init(jax.random.PRNGKey(2), cur_data, src_data)
+    out = model.apply(variables, cur_data, src_data)
+    out_flip = model.apply(variables, cur_data, src_data, flip=True)
+    a = np.asarray(out["depth_pred_s0_bhw1"])
+    b = np.asarray(out_flip["depth_pred_s0_bhw1"])
+    # not identical (image content flips through the conv encoders) but the
+    # geometry plumbing must keep them strongly correlated and same-scale
+    assert np.isfinite(b).all()
+    assert abs(np.log(b.mean() / a.mean())) < 0.5
