@@ -1,0 +1,286 @@
+"""TSDF volume, fusion, sampling and raycasting — on-device, static shapes.
+
+TPU-native redesign of the reference's scene-state stack
+(reference: src/doubletake/tools/tsdf.py):
+
+  * The volume is a dense, bounded (X, Y, Z) array pair (values init -1,
+    weights init 0) held on device as a pytree — the analogue of
+    tsdf.py:53-154 with the Open3D CUDA hashset dropped: active-voxel
+    tracking is implicit in weights > 0, and frustum culling is replaced by
+    masked full-volume updates (XLA fuses project+sample+update into one
+    elementwise pass over the volume; no dynamic shapes anywhere).
+  * ``integrate_depth`` matches TSDFFuser.integrate_depth math exactly
+    (tsdf.py:414-558): nearest depth sampling, InfiniTAM confidence,
+    truncation 3 voxels with optional 1.5x extended negative truncation,
+    update_rate 2.5 / maxW 100, weights clamped to 1.
+  * ``sample_tsdf`` is trilinear/nearest with align_corners=True semantics
+    (tsdf.py:277-339).
+  * ``raycast`` replaces the marching-cubes -> PyTorch3D-rasterize hint
+    path (test_incremental.py:187-258): sphere-free fixed-step ray marching
+    along camera z with linear zero-crossing refinement gives the same
+    information (hint depth where the observed surface crosses zero, plus
+    the trilinearly sampled confidence weight) without building a dynamic-
+    shape mesh. Marching cubes remains only for host-side mesh export.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from doubletake_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+
+_PREC = jax.lax.Precision.HIGHEST
+
+VOX_MOD = 8  # volume dims rounded up to multiples of 8 (tsdf.py:59)
+
+
+@struct.dataclass
+class TSDF:
+    """Dense TSDF volume. values/weights: (X, Y, Z); origin: world min corner."""
+
+    values: jnp.ndarray
+    weights: jnp.ndarray
+    origin: jnp.ndarray  # (3,) float32
+    voxel_size: float = struct.field(pytree_node=False)
+
+    @property
+    def dims(self):
+        return self.values.shape
+
+    @classmethod
+    def from_bounds(cls, bounds: dict, voxel_size: float, dtype=jnp.float32):
+        """Create a volume covering bounds (tsdf.py:122-154)."""
+        dims = []
+        for axis in ("x", "y", "z"):
+            extent = bounds[f"{axis}max"] - bounds[f"{axis}min"]
+            dims.append(int(np.ceil(extent / voxel_size / VOX_MOD)) * VOX_MOD)
+        origin = jnp.asarray(
+            [bounds["xmin"], bounds["ymin"], bounds["zmin"]], jnp.float32
+        )
+        values = -jnp.ones(tuple(dims), dtype)
+        weights = jnp.zeros(tuple(dims), dtype)
+        return cls(values=values, weights=weights, origin=origin, voxel_size=voxel_size)
+
+    @classmethod
+    def from_mesh_bounds(cls, verts_min, verts_max, voxel_size: float, dtype=jnp.float32):
+        """Bounds from mesh vertices with a 3-voxel buffer (tsdf.py:100-120)."""
+        b = {}
+        for i, axis in enumerate(("x", "y", "z")):
+            b[f"{axis}min"] = float(verts_min[i]) - 3 * voxel_size
+            b[f"{axis}max"] = float(verts_max[i]) + 3 * voxel_size
+        return cls.from_bounds(b, voxel_size, dtype)
+
+    def save(self, path: str):
+        np.savez_compressed(
+            path,
+            tsdf_values=np.asarray(self.values, np.float16),
+            tsdf_weights=np.asarray(self.weights, np.float16),
+            origin=np.asarray(self.origin, np.float32),
+            voxel_size=self.voxel_size,
+        )
+
+    @classmethod
+    def load(cls, path: str, dtype=jnp.float32):
+        data = np.load(path)
+        return cls(
+            values=jnp.asarray(data["tsdf_values"], dtype),
+            weights=jnp.asarray(data["tsdf_weights"], dtype),
+            origin=jnp.asarray(data["origin"], jnp.float32),
+            voxel_size=float(data["voxel_size"]),
+        )
+
+
+def voxel_world_coords(tsdf: TSDF):
+    """World coordinates of every voxel center-corner, (X, Y, Z, 3)."""
+    dims = tsdf.dims
+    grids = jnp.meshgrid(*[jnp.arange(d, dtype=jnp.float32) for d in dims], indexing="ij")
+    return tsdf.origin + jnp.stack(grids, axis=-1) * tsdf.voxel_size
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Fusion hyperparameters (TSDFFuser defaults, tsdf.py:347-363)."""
+
+    min_depth: float = 0.5
+    max_depth: float = 5.0
+    truncation_voxels: float = 3.0
+    max_weight: float = 100.0
+    update_rate: float = 2.5
+    extended_neg_truncation: bool = False
+
+
+def integrate_depth(
+    tsdf: TSDF,
+    depth_hw1,
+    cam_T_world_44,
+    K_44,
+    config: FusionConfig,
+    depth_mask_hw1=None,
+):
+    """Fuse one depth map into the volume. Pure, jittable; returns a new TSDF.
+
+    Math parity with TSDFFuser.integrate_depth (tsdf.py:414-558). Instead of
+    frustum-bound gather/compact the update is computed for every voxel and
+    masked — on TPU the masked full pass is one fused elementwise kernel.
+    """
+    h, w = depth_hw1.shape[:2]
+    dims = tsdf.dims
+    truncation = config.truncation_voxels * tsdf.voxel_size
+
+    if depth_mask_hw1 is not None:
+        depth_hw1 = jnp.where(depth_mask_hw1, depth_hw1, -1.0)
+
+    # project every voxel into the camera
+    coords = voxel_world_coords(tsdf).reshape(-1, 3)  # (N, 3)
+    P_34 = jnp.matmul(K_44, cam_T_world_44, precision=_PREC)[:3]
+    cam = (
+        jnp.einsum("ij,nj->ni", P_34[:, :3], coords, precision=_PREC) + P_34[:, 3]
+    )  # (N, 3)
+    vox_depth = cam[:, 2]
+    px = cam[:, :2] / vox_depth[:, None]  # reference divides by z directly
+
+    # nearest-sample the depth map (align_corners=False, zeros padding)
+    gx = 2.0 * px[:, 0] / w - 1.0
+    gy = 2.0 * px[:, 1] / h - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)[None, :, None, :]  # (1, N, 1, 2)
+    sampled = grid_sample_2d(depth_hw1[None], grid, mode="nearest")[0, :, 0, 0]
+
+    confidence = (
+        jnp.clip(
+            1.0 - (sampled - config.min_depth) / (config.max_depth - config.min_depth),
+            0.25,
+            1.0,
+        )
+        ** 2
+    )
+
+    dist = sampled - vox_depth
+    tsdf_vals = jnp.clip(dist / truncation, -1.0, 1.0)
+
+    trunc_check = -truncation * (1.5 if config.extended_neg_truncation else 1.0)
+    valid = (
+        (vox_depth > 0)
+        & (dist > trunc_check)
+        & (sampled > 0)
+        & (vox_depth < config.max_depth)
+        & (confidence > 0)
+    )
+
+    old_vals = tsdf.values.reshape(-1)
+    old_wts = tsdf.weights.reshape(-1)
+    new_wts = confidence * config.update_rate / config.max_weight
+    total = old_wts + new_wts.astype(old_wts.dtype)
+
+    fused_vals = (old_vals * old_wts + tsdf_vals.astype(old_vals.dtype) * new_wts) / total
+    out_vals = jnp.where(valid, fused_vals, old_vals).reshape(dims)
+    out_wts = jnp.where(valid, jnp.clip(total, max=1.0), old_wts).reshape(dims)
+
+    return tsdf.replace(values=out_vals, weights=out_wts)
+
+
+def integrate_batch(tsdf: TSDF, depth_bhw1, cam_T_world_b44, K_b44, config: FusionConfig,
+                    depth_mask_bhw1=None):
+    """Sequentially fuse a batch of depth maps via lax.scan (order matters —
+    the running weighted mean is order-dependent, like the reference's
+    per-batch loop at tsdf.py:444)."""
+
+    def step(vol, frame):
+        if depth_mask_bhw1 is not None:
+            depth, cam_T_world, K, mask = frame
+        else:
+            (depth, cam_T_world, K), mask = frame, None
+        return integrate_depth(vol, depth, cam_T_world, K, config, mask), None
+
+    frames = (depth_bhw1, cam_T_world_b44, K_b44)
+    if depth_mask_bhw1 is not None:
+        frames = frames + (depth_mask_bhw1,)
+    out, _ = jax.lax.scan(step, tsdf, frames)
+    return out
+
+
+def world_to_sample_coords(tsdf: TSDF, world_points_n3):
+    """World points -> [-1, 1] sample coords, align_corners=True convention
+    (tsdf.py:300-312)."""
+    vox = (world_points_n3 - tsdf.origin) / tsdf.voxel_size
+    dims = jnp.asarray(tsdf.dims, jnp.float32)
+    return (vox / (dims - 1.0)) * 2.0 - 1.0
+
+
+def sample_tsdf(tsdf: TSDF, world_points_n3, what: str = "tsdf", method: str = "bilinear"):
+    """Sample values or weights at world points (tsdf.py:277-339 parity)."""
+    vol = tsdf.values if what == "tsdf" else tsdf.weights
+    pts = world_to_sample_coords(tsdf, world_points_n3)
+    return grid_sample_3d(vol[..., None], pts, mode=method)[:, 0]
+
+
+def raycast(
+    tsdf: TSDF,
+    world_T_cam_44,
+    invK_44,
+    height: int,
+    width: int,
+    min_depth: float = 0.1,
+    max_depth: float = 5.0,
+    num_samples: int = 256,
+    weight_epsilon: float = 1e-4,
+):
+    """Render hint depth + confidence by ray-marching the TSDF.
+
+    For each pixel, march along the camera ray at ``num_samples`` z-depths
+    and find the first observed + -> - zero crossing of the TSDF; refine the
+    crossing by linear interpolation (the same rule marching cubes uses on
+    edges, so depths agree with the reference's MC+rasterize hints up to
+    sampling). Returns (depth_hw, weight_hw, valid_hw):
+      depth  — z-depth of the surface (matches PyTorch3D zbuf semantics),
+      weight — trilinearly sampled fusion weight at the surface point
+               (what the reference samples from the TSDF at rendered points,
+               test_incremental.py:230-244),
+      valid  — crossing found.
+    """
+    n = height * width
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32), jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pix = jnp.stack([xs + 0.5, ys + 0.5, jnp.ones_like(xs)], axis=0).reshape(3, n)
+    rays_cam = jnp.matmul(invK_44[:3, :3], pix, precision=_PREC)  # (3, N) unit-z rays
+    R = world_T_cam_44[:3, :3]
+    t = world_T_cam_44[:3, 3]
+    rays_world = jnp.matmul(R, rays_cam, precision=_PREC)  # (3, N)
+
+    zs = jnp.linspace(min_depth, max_depth, num_samples)  # (S,)
+    # world sample points: (S, N, 3)
+    pts = rays_world.T[None] * zs[:, None, None] + t
+
+    flat = pts.reshape(-1, 3)
+    vals = sample_tsdf(tsdf, flat, "tsdf").reshape(num_samples, n)
+    wts = sample_tsdf(tsdf, flat, "weights").reshape(num_samples, n)
+
+    observed = wts > weight_epsilon
+    prev_vals, cur_vals = vals[:-1], vals[1:]
+    crossing = (prev_vals > 0) & (cur_vals <= 0) & observed[:-1] & observed[1:]
+
+    first = jnp.argmax(crossing, axis=0)  # (N,) first True (0 if none)
+    valid = jnp.any(crossing, axis=0)
+
+    v0 = jnp.take_along_axis(prev_vals, first[None], axis=0)[0]
+    v1 = jnp.take_along_axis(cur_vals, first[None], axis=0)[0]
+    frac = v0 / jnp.maximum(v0 - v1, 1e-12)
+    dz = zs[1] - zs[0]
+    depth = zs[first] + frac * dz
+
+    surf_pts = rays_world.T * depth[:, None] + t
+    surf_w = sample_tsdf(tsdf, surf_pts, "weights")
+
+    depth = jnp.where(valid, depth, jnp.nan)
+    return (
+        depth.reshape(height, width),
+        jnp.where(valid, surf_w, 0.0).reshape(height, width),
+        valid.reshape(height, width),
+    )

@@ -1,0 +1,172 @@
+"""Tests for TSDF fusion, sampling and raycasting.
+
+Parity fixture: a numpy/torch reimplementation of the reference's
+integrate_depth math (InfiniTAM confidence, truncation, weighted running
+mean — tools/tsdf.py:414-558 behavior), plus semantic scene tests: fusing
+synthetic wall depths and raycasting them back.
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from doubletake_tpu.tools.tsdf import (
+    TSDF,
+    FusionConfig,
+    integrate_depth,
+    raycast,
+    sample_tsdf,
+)
+
+H, W = 48, 64
+
+
+def make_K():
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 40.0
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    return K
+
+
+def small_volume():
+    bounds = dict(xmin=-1.0, xmax=1.0, ymin=-1.0, ymax=1.0, zmin=0.0, zmax=3.0)
+    return TSDF.from_bounds(bounds, voxel_size=0.08)
+
+
+def numpy_reference_integrate(vol_vals, vol_wts, origin, voxel_size, depth, cam_T_world,
+                              K, cfg: FusionConfig):
+    """Independent reference-math implementation (dense, numpy + torch sample)."""
+    dims = vol_vals.shape
+    xs, ys, zs = np.meshgrid(*[np.arange(d) for d in dims], indexing="ij")
+    coords = origin + np.stack([xs, ys, zs], -1).reshape(-1, 3) * voxel_size
+
+    P = (K @ cam_T_world)[:3]
+    cam = coords @ P[:, :3].T + P[:, 3]
+    voxz = cam[:, 2]
+    px = cam[:, :2] / voxz[:, None]
+
+    gx = 2 * px[:, 0] / W - 1
+    gy = 2 * px[:, 1] / H - 1
+    grid = torch.from_numpy(np.stack([gx, gy], -1).astype(np.float32))[None, :, None]
+    sampled = F.grid_sample(
+        torch.from_numpy(depth.astype(np.float32))[None, None],
+        grid, mode="nearest", padding_mode="zeros", align_corners=False,
+    ).numpy()[0, 0, :, 0]
+
+    trunc = cfg.truncation_voxels * voxel_size
+    conf = np.clip(1 - (sampled - cfg.min_depth) / (cfg.max_depth - cfg.min_depth),
+                   0.25, 1.0) ** 2
+    dist = sampled - voxz
+    tsdf_vals = np.clip(dist / trunc, -1, 1)
+    trunc_check = -trunc * (1.5 if cfg.extended_neg_truncation else 1.0)
+    valid = (voxz > 0) & (dist > trunc_check) & (sampled > 0) & (voxz < cfg.max_depth) & (conf > 0)
+
+    old_v = vol_vals.reshape(-1).copy()
+    old_w = vol_wts.reshape(-1).copy()
+    new_w = conf * cfg.update_rate / cfg.max_weight
+    total = old_w + new_w
+    fused = (old_v * old_w + tsdf_vals * new_w) / total
+    out_v = np.where(valid, fused, old_v).reshape(dims)
+    out_w = np.where(valid, np.minimum(total, 1.0), old_w).reshape(dims)
+    return out_v, out_w
+
+
+def wall_depth(z=2.0):
+    return np.full((H, W, 1), z, np.float32)
+
+
+def test_integrate_matches_reference_math():
+    vol = small_volume()
+    K = make_K()
+    cam_T_world = np.eye(4, dtype=np.float32)
+    depth = wall_depth()
+    cfg = FusionConfig(min_depth=0.5, max_depth=3.5, extended_neg_truncation=True)
+
+    out = integrate_depth(
+        vol, jnp.asarray(depth), jnp.asarray(cam_T_world), jnp.asarray(K), cfg
+    )
+    # fuse a second, slightly different frame to exercise the running mean
+    depth2 = wall_depth(2.05)
+    out = integrate_depth(
+        out, jnp.asarray(depth2), jnp.asarray(cam_T_world), jnp.asarray(K), cfg
+    )
+
+    ref_v, ref_w = numpy_reference_integrate(
+        np.asarray(vol.values), np.asarray(vol.weights), np.asarray(vol.origin),
+        vol.voxel_size, depth[..., 0], cam_T_world, K, cfg,
+    )
+    ref_v, ref_w = numpy_reference_integrate(
+        ref_v, ref_w, np.asarray(vol.origin), vol.voxel_size, depth2[..., 0],
+        cam_T_world, K, cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out.values), ref_v, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.weights), ref_w, rtol=1e-4, atol=1e-6)
+    assert np.asarray(out.weights).max() > 0  # something was fused
+
+
+def test_sample_tsdf_signs_around_wall():
+    vol = small_volume()
+    cfg = FusionConfig(min_depth=0.5, max_depth=3.5)
+    out = integrate_depth(
+        vol, jnp.asarray(wall_depth()), jnp.eye(4), jnp.asarray(make_K()), cfg
+    )
+    # points on the camera axis: in front of the wall -> positive, behind -> negative
+    front = jnp.asarray([[0.0, 0.0, 1.9]])
+    behind = jnp.asarray([[0.0, 0.0, 2.1]])
+    at = jnp.asarray([[0.0, 0.0, 2.0]])
+    assert float(sample_tsdf(out, front)[0]) > 0.2
+    assert float(sample_tsdf(out, behind)[0]) < -0.2
+    assert abs(float(sample_tsdf(out, at)[0])) < 0.3
+    assert float(sample_tsdf(out, front, "weights")[0]) > 0.005
+
+
+def test_raycast_recovers_fused_wall():
+    vol = small_volume()
+    cfg = FusionConfig(min_depth=0.5, max_depth=3.5)
+    out = integrate_depth(
+        vol, jnp.asarray(wall_depth()), jnp.eye(4), jnp.asarray(make_K()), cfg
+    )
+    K = make_K()
+    depth, weights, valid = raycast(
+        out, jnp.eye(4), jnp.asarray(np.linalg.inv(K)), H, W,
+        min_depth=0.5, max_depth=3.0, num_samples=200,
+    )
+    d = np.asarray(depth)
+    v = np.asarray(valid)
+    # central region must be recovered close to 2.0 m
+    center = d[H // 4: -H // 4, W // 4: -W // 4]
+    assert np.asarray(v)[H // 4: -H // 4, W // 4: -W // 4].all()
+    np.testing.assert_allclose(center, 2.0, atol=0.05)
+    assert np.asarray(weights)[H // 2, W // 2] > 0.005
+    # rays that never hit observed surface are invalid and NaN-coded
+    assert np.isnan(d[~v]).all()
+
+
+def test_raycast_empty_volume_all_invalid():
+    vol = small_volume()
+    K = make_K()
+    depth, weights, valid = raycast(
+        vol, jnp.eye(4), jnp.asarray(np.linalg.inv(K)), 16, 24,
+        min_depth=0.5, max_depth=3.0, num_samples=64,
+    )
+    assert not np.asarray(valid).any()
+    assert np.isnan(np.asarray(depth)).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    vol = small_volume()
+    cfg = FusionConfig()
+    out = integrate_depth(
+        vol, jnp.asarray(wall_depth()), jnp.eye(4), jnp.asarray(make_K()), cfg
+    )
+    path = str(tmp_path / "vol.npz")
+    out.save(path)
+    loaded = TSDF.load(path)
+    assert loaded.dims == out.dims
+    # fp16 storage quantization
+    np.testing.assert_allclose(
+        np.asarray(loaded.values), np.asarray(out.values), atol=2e-3
+    )
