@@ -56,7 +56,9 @@ def dataset_from_opts(opts, split=None, limit_to_scan_id=None, **overrides):
     if cls is SyntheticDataset:
         kwargs.pop("mv_tuple_file_suffix", None)
         kwargs.pop("tuple_info_file_location", None)
-        kwargs.pop("limit_to_scan_id", None)
+        limit = kwargs.pop("limit_to_scan_id", None)
+        if limit is not None:
+            kwargs["scan_ids"] = [limit]
     return cls(**kwargs)
 
 

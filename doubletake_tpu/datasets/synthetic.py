@@ -25,8 +25,16 @@ class SyntheticScene:
         self.room_max = np.array([room_size[0] / 2, room_size[1] / 2, room_size[2]])
         self.boxes = []
         for _ in range(num_boxes):
-            center = rng.uniform(self.room_min + 0.8, self.room_max - 0.8)
-            half = rng.uniform(0.2, 0.6, 3)
+            # boxes sit on the floor and stay below z=0.9 so the camera
+            # orbit (z ~1.2-1.6) always keeps >0.5 m clearance — guarantees
+            # every rendered frame has valid GT depth beyond the eval
+            # threshold
+            half = np.array(
+                [rng.uniform(0.2, 0.6), rng.uniform(0.2, 0.6), rng.uniform(0.2, 0.45)]
+            )
+            cx = rng.uniform(self.room_min[0] + half[0] + 0.2, self.room_max[0] - half[0] - 0.2)
+            cy = rng.uniform(self.room_min[1] + half[1] + 0.2, self.room_max[1] - half[1] - 0.2)
+            center = np.array([cx, cy, half[2]])
             self.boxes.append((center - half, center + half))
         self.tex_seed = rng.uniform(0, 10, 3)
 
@@ -118,17 +126,21 @@ class SyntheticDataset(GenericMVSDataset):
 
     def __init__(self, dataset_path="", split="test", mv_tuple_file_suffix=None,
                  num_frames: int = 40, num_scans: int = 1, tuple_size: int = 8,
-                 **kwargs):
+                 scan_ids=None, **kwargs):
         kwargs.setdefault("tuple_info_file_location", None)
         super().__init__(dataset_path, split, None, **kwargs)
         self.num_frames = num_frames
         self.tuple_size = tuple_size
         self._scenes = {}
         self._poses = {}
+        # frames are shared by up to tuple_size overlapping tuples: cache
+        # renders so the host pipeline keeps up with the device
+        self._render_cache = {}
 
+        if scan_ids is None:
+            scan_ids = [f"synth{s}" for s in range(num_scans)]
         self.frame_tuples = []
-        for s in range(num_scans):
-            scan = f"synth{s}"
+        for scan in scan_ids:
             for ref in range(tuple_size - 1, num_frames):
                 ids = [str(ref)] + [str(ref - 1 - k) for k in range(tuple_size - 1)]
                 self.frame_tuples.append(scan + " " + " ".join(ids))
@@ -147,12 +159,30 @@ class SyntheticDataset(GenericMVSDataset):
 
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def parse_scan_id(scan_id):
+        """"synth{N}" or "synth{N}@{M}": scene seed N, trajectory seed M
+        (rescans of the same scene use a different trajectory — the
+        synthetic analogue of a 3RScan revisit)."""
+        body = scan_id.replace("synth", "")
+        if "@" in body:
+            scene_seed, traj_seed = body.split("@")
+            return int(scene_seed), int(traj_seed)
+        return int(body), int(body)
+
     def scene(self, scan_id) -> SyntheticScene:
         if scan_id not in self._scenes:
-            seed = int(scan_id.replace("synth", ""))
-            self._scenes[scan_id] = SyntheticScene(seed=seed)
-            self._poses[scan_id] = synthetic_trajectory(self.num_frames, seed)
+            scene_seed, traj_seed = self.parse_scan_id(scan_id)
+            self._scenes[scan_id] = SyntheticScene(seed=scene_seed)
+            self._poses[scan_id] = synthetic_trajectory(self.num_frames, traj_seed)
         return self._scenes[scan_id]
+
+    @staticmethod
+    def revisit_source_scan(scan_id):
+        """First-visit scan id + rescan->reference transform (identity for
+        synthetic: both trajectories share the scene's world frame)."""
+        scene_seed, _ = SyntheticDataset.parse_scan_id(scan_id)
+        return f"synth{scene_seed}", np.eye(4, dtype=np.float32)
 
     def poses(self, scan_id):
         self.scene(scan_id)
@@ -163,11 +193,18 @@ class SyntheticDataset(GenericMVSDataset):
         return world_T_cam, np.linalg.inv(world_T_cam).astype(np.float32)
 
     def _render(self, scan_id, frame_id, height, width):
+        key = (scan_id, int(frame_id), height, width)
+        if key in self._render_cache:
+            return self._render_cache[key]
         K = self.K_image.copy()
         K[0] *= width / self.image_width
         K[1] *= height / self.image_height
         pose = self.poses(scan_id)[int(frame_id)]
-        return self.scene(scan_id).render(pose, K, height, width)
+        out = self.scene(scan_id).render(pose, K, height, width)
+        if len(self._render_cache) > 512:
+            self._render_cache.clear()
+        self._render_cache[key] = out
+        return out
 
     def load_color(self, scan_id, frame_id):
         rgb, _ = self._render(scan_id, frame_id, self.image_height, self.image_width)

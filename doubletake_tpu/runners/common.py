@@ -1,0 +1,153 @@
+"""Shared runner infrastructure: model construction, jitted eval steps,
+metric protocol (nearest upsample to full-res GT, valid > 0.5 m), fusers.
+
+Protocol parity with the reference eval scripts (test_no_hint.py:177-212,
+test_incremental.py:290-326): predictions are nearest-upsampled to the
+full-res GT depth, masked to GT > 0.5 m (and finite), and averaged per
+frame, per scene, and overall via ResultsAverager.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from doubletake_tpu.models.depth_model import get_model_class
+from doubletake_tpu.options import Options
+from doubletake_tpu.ops.resize import interpolate_nearest
+from doubletake_tpu.tools.tsdf import TSDF, FusionConfig
+from doubletake_tpu.utils.metrics import compute_depth_metrics_batched
+
+EVAL_MIN_DEPTH = 0.5  # valid GT depth threshold (test_no_hint.py:184)
+
+# keys the jitted eval step consumes (fixed set => stable jit signature)
+CUR_KEYS = ("image_bhw3", "cam_T_world_b44", "world_T_cam_b44", "invK_s1_b44",
+            "K_s0_b44", "invK_s0_b44")
+SRC_KEYS = ("image_bkhw3", "cam_T_world_bk44", "world_T_cam_bk44", "K_s1_bk44")
+
+
+def build_model(opts: Options):
+    """Construct the model from options (model registry parity)."""
+    model_type = opts.model_type or opts.extra.get("model_type", "depth_model")
+    cls = get_model_class(model_type)
+    return cls(
+        image_encoder_name=opts.image_encoder_name,
+        depth_decoder_name=opts.depth_decoder_name,
+        feature_volume_type=opts.feature_volume_type,
+        matching_scale=opts.matching_scale,
+        matching_num_depth_bins=opts.matching_num_depth_bins,
+        matching_feature_dims=opts.matching_feature_dims,
+        model_num_views=opts.model_num_views,
+        min_matching_depth=opts.min_matching_depth,
+        max_matching_depth=opts.max_matching_depth,
+        plane_chunk=opts.plane_chunk,
+    )
+
+
+def init_or_load_params(opts: Options, model, sample_batch):
+    """Initialize params, or load from a converted/orbax checkpoint."""
+    cur_np, src_np = sample_batch
+    cur = {k: jnp.asarray(cur_np[k]) for k in CUR_KEYS if k in cur_np}
+    src = {k: jnp.asarray(src_np[k]) for k in SRC_KEYS if k in src_np}
+    path = opts.load_weights_from_checkpoint
+    if path and os.path.exists(path):
+        from doubletake_tpu.checkpoints.io import load_params
+
+        return load_params(path)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(opts.random_seed), cur, src)
+    return variables
+
+
+def device_batch(cur_np: Dict, src_np: Dict):
+    cur = {k: jnp.asarray(cur_np[k]) for k in CUR_KEYS if k in cur_np}
+    src = {k: jnp.asarray(src_np[k]) for k in SRC_KEYS if k in src_np}
+    return cur, src
+
+
+def make_forward_fn(model, use_hint: bool):
+    """A jitted forward: (variables, cur, src[, hint]) -> outputs dict."""
+
+    if use_hint:
+        @jax.jit
+        def fwd(variables, cur, src, hint):
+            return model.apply(variables, cur, src, hint=hint, return_mask=True)
+    else:
+        @jax.jit
+        def fwd(variables, cur, src):
+            return model.apply(variables, cur, src, return_mask=True)
+
+    return fwd
+
+
+def frame_metrics(depth_pred_bhw1, full_gt_bhw1, mult_a: bool = True):
+    """Reference metric protocol: nearest-upsample pred to full-res GT,
+    mask GT finite and > 0.5 m. Returns dict of per-frame (B,) arrays."""
+    gt_hw = full_gt_bhw1.shape[1:3]
+    pred_up = interpolate_nearest(depth_pred_bhw1, gt_hw)
+    b = full_gt_bhw1.shape[0]
+    gt = full_gt_bhw1.reshape(b, -1)
+    pred = pred_up.reshape(b, -1)
+    valid = jnp.isfinite(gt) & (gt > EVAL_MIN_DEPTH)
+    return compute_depth_metrics_batched(gt, pred, valid, mult_a=mult_a)
+
+
+_metrics_jit = jax.jit(partial(frame_metrics, mult_a=True))
+
+
+def compute_frame_metrics(depth_pred_bhw1, full_gt_np):
+    return _metrics_jit(depth_pred_bhw1, jnp.asarray(full_gt_np))
+
+
+def scene_bounds_for_fusion(dataset, scan_id, max_extent: float = 10.0):
+    """TSDF bounds: dataset GT bounds when available (get_fuser parity —
+    fusers_helper.py:214-260 uses the GT mesh), else fixed +-max_extent."""
+    if hasattr(dataset, "get_gt_mesh_bounds"):
+        mn, mx = dataset.get_gt_mesh_bounds(scan_id)
+        return {
+            "xmin": float(mn[0]), "xmax": float(mx[0]),
+            "ymin": float(mn[1]), "ymax": float(mx[1]),
+            "zmin": float(mn[2]), "zmax": float(mx[2]),
+        }
+    return {
+        "xmin": -max_extent, "xmax": max_extent,
+        "ymin": -max_extent, "ymax": max_extent,
+        "zmin": -max_extent, "zmax": max_extent,
+    }
+
+
+def make_fuser(opts: Options, dataset, scan_id) -> Tuple[TSDF, FusionConfig]:
+    """Score-fuser parity: resolution/ max depth from opts (0.02 m / 3.5 m
+    for published scores), extended negative truncation optional."""
+    bounds = scene_bounds_for_fusion(dataset, scan_id)
+    tsdf = TSDF.from_bounds(bounds, opts.fusion_resolution)
+    cfg = FusionConfig(
+        min_depth=EVAL_MIN_DEPTH,
+        max_depth=opts.fusion_max_depth,
+        extended_neg_truncation=opts.extended_neg_truncation,
+    )
+    return tsdf, cfg
+
+
+def make_hint_fuser(opts: Options, dataset, scan_id) -> Tuple[TSDF, FusionConfig]:
+    """Hint-mesh fuser locked to 0.04 m / 3.0 m
+    (test_offline_two_pass.py:47-69)."""
+    bounds = scene_bounds_for_fusion(dataset, scan_id)
+    tsdf = TSDF.from_bounds(bounds, 0.04)
+    cfg = FusionConfig(min_depth=EVAL_MIN_DEPTH, max_depth=3.0,
+                       extended_neg_truncation=opts.extended_neg_truncation)
+    return tsdf, cfg
+
+
+def output_dirs(opts: Options, mode: str):
+    base = os.path.join(opts.output_base_path, opts.name, mode)
+    scores = os.path.join(base, "scores")
+    meshes = os.path.join(base, "meshes")
+    os.makedirs(scores, exist_ok=True)
+    os.makedirs(meshes, exist_ok=True)
+    return base, scores, meshes

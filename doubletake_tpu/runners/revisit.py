@@ -1,0 +1,109 @@
+"""Revisit evaluation: hints from a previous session's volume.
+
+Reference: src/doubletake/test_revisit.py (3RScan cross-session). The hint
+volume is built from the FIRST visit of a scene; the rescan's frames are
+evaluated with hints raycast from that volume after mapping rescan poses
+into the first visit's world frame via ``first_scan_T_second_scan``
+(:225-240).
+
+Dataset hook: ``revisit_source_scan(scan_id) -> (first_scan_id,
+first_T_second_44)``. ThreeRScanDataset parses 3RScan.json; the synthetic
+dataset's rescans ("synthN@M") share the world frame (identity).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from doubletake_tpu.data.loader import DataLoader
+from doubletake_tpu.datasets.registry import dataset_from_opts
+from doubletake_tpu.options import Options
+from doubletake_tpu.runners import common
+from doubletake_tpu.runners.incremental import HINT_WEIGHT_THRESHOLD
+from doubletake_tpu.runners.no_hint import unique_scans
+from doubletake_tpu.runners.offline_two_pass import compute_hint_volume, make_pass2_step
+from doubletake_tpu.utils.metrics import ResultsAverager
+
+
+def run(opts: Options, variables=None):
+    assert "hint" in opts.feature_volume_type
+    base, scores_dir, meshes_dir = common.output_dirs(
+        opts, f"revisit_{opts.frame_tuple_type}"
+    )
+    model = common.build_model(opts)
+
+    probe = dataset_from_opts(opts, split=opts.split, include_full_res_depth=True)
+    scans = unique_scans(probe)
+    if opts.single_debug_scan_id:
+        scans = [s for s in scans if s == opts.single_debug_scan_id]
+
+    hint_h, hint_w = opts.image_height // 2, opts.image_width // 2
+    all_frame_avg = ResultsAverager(opts.name, "frame avg")
+    scene_avg = ResultsAverager(opts.name, "scene avg")
+
+    for scan_id in scans:
+        rescan_ds = dataset_from_opts(
+            opts, split=opts.split, limit_to_scan_id=scan_id,
+            include_full_res_depth=True,
+        )
+        if not hasattr(rescan_ds, "revisit_source_scan"):
+            raise ValueError(f"dataset {opts.dataset} does not support revisit")
+        first_scan_id, first_T_second = rescan_ds.revisit_source_scan(scan_id)
+        first_T_second = jnp.asarray(first_T_second)
+
+        first_ds = dataset_from_opts(
+            opts, split=opts.split, limit_to_scan_id=first_scan_id,
+            include_full_res_depth=True,
+        )
+        if variables is None:
+            for first in DataLoader(first_ds, batch_size=1, num_workers=1):
+                variables = common.init_or_load_params(opts, model, first)
+                break
+
+        # hint volume from visit 1 (empty-hint pass, locked hint fuser)
+        hint_tsdf = compute_hint_volume(opts, model, variables, first_ds, first_scan_id)
+
+        step = make_pass2_step(model, hint_h, hint_w, opts.raycast_samples, 3.0)
+        loader = DataLoader(rescan_ds, batch_size=1, shuffle=False,
+                            num_workers=min(4, opts.num_workers))
+        scan_metrics = ResultsAverager(opts.name, f"scan {scan_id}")
+        for cur_np, src_np in loader:
+            cur, src = common.device_batch(cur_np, src_np)
+            # map the rescan pose into the first visit's world frame for the
+            # raycast only — the model still sees rescan-frame geometry
+            cur_mapped = dict(cur)
+            cur_mapped["hint_world_T_cam_b44"] = jnp.einsum(
+                "ij,bjk->bik", first_T_second, cur["world_T_cam_b44"]
+            )
+            t0 = time.perf_counter()
+            out, hint = step(variables, hint_tsdf, cur_mapped, src)
+            depth = out["depth_pred_s0_bhw1"]
+            depth.block_until_ready()
+
+            metrics = common.compute_frame_metrics(depth, cur_np["full_res_depth_bhw1"])
+            fm = {k: float(np.asarray(v)[0]) for k, v in metrics.items()}
+            fm["frame_time"] = time.perf_counter() - t0
+            fm["hint_coverage"] = float(np.asarray(hint["hint_mask_bhw1"]).mean())
+            scan_metrics.update_results(fm)
+            all_frame_avg.update_results(fm)
+
+        scan_metrics.compute_final_average()
+        scan_metrics.output_json(
+            os.path.join(scores_dir, f"{scan_id.replace('/', '_')}_metrics.json")
+        )
+        scene_avg.update_results(scan_metrics.final_metrics)
+
+    all_frame_avg.compute_final_average()
+    scene_avg.compute_final_average()
+    all_frame_avg.output_json(os.path.join(scores_dir, "all_frame_avg_metrics.json"))
+    scene_avg.output_json(os.path.join(scores_dir, "scene_avg_metrics.json"))
+    print("\nScene averages:")
+    scene_avg.pretty_print_results()
+    print("\nFrame averages:")
+    all_frame_avg.pretty_print_results()
+    return {"frame_avg": all_frame_avg.final_metrics, "scene_avg": scene_avg.final_metrics}
