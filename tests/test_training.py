@@ -1,0 +1,96 @@
+"""Training smoke tests: sharded step over the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from doubletake_tpu.data.loader import DataLoader
+from doubletake_tpu.datasets.synthetic import SyntheticDataset
+from doubletake_tpu.options import Options
+from doubletake_tpu.runners import common
+from doubletake_tpu.training import train_loop
+from doubletake_tpu.training.augmentation import color_jitter
+
+
+def small_opts():
+    o = Options()
+    o.dataset = "synthetic"
+    o.image_width, o.image_height = 96, 64
+    o.image_encoder_name = "resnet18d"
+    o.depth_decoder_name = "skip"
+    o.model_type = "cv_hint_depth_model"
+    o.feature_volume_type = "mlp_mesh_hint_feature_volume"
+    o.matching_num_depth_bins = 16
+    o.plane_chunk = 8
+    o.model_num_views = 3
+    o.batch_size = 8
+    return o
+
+
+def make_batch(opts, batch_size):
+    ds = SyntheticDataset(
+        split="train", num_frames=12, tuple_size=opts.model_num_views,
+        image_height=opts.image_height, image_width=opts.image_width,
+    )
+    loader = DataLoader(ds, batch_size, num_workers=4)
+    return next(iter(loader))
+
+
+def test_color_jitter_preserves_shape_and_changes_pixels():
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 16, 24, 3).astype(np.float32)
+    out = color_jitter(jax.random.PRNGKey(0), jnp.asarray(img))
+    assert out.shape == img.shape
+    assert np.abs(np.asarray(out) - img).max() > 1e-3
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_sharded_train_step_8_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    opts = small_opts()
+    model = common.build_model(opts)
+    tx, _ = train_loop.make_optimizer(opts)
+    mesh = train_loop.data_mesh()
+
+    batch = make_batch(opts, 8)
+    state = train_loop.init_train_state(opts, model, tx, batch)
+    step_fn = train_loop.make_train_step(model, tx, mesh, use_hint_model=True)
+
+    cur, src = train_loop._train_batch(*batch)
+    rng = jax.random.PRNGKey(0)
+    state, losses = step_fn(state, cur, src, rng)
+    assert int(state.step) == 1
+    loss0 = float(losses["loss"])
+    assert np.isfinite(loss0)
+
+    state, losses = step_fn(state, cur, src, rng)
+    assert int(state.step) == 2
+    assert np.isfinite(float(losses["loss"]))
+    # gradient actually applied
+    assert loss0 != float(losses["loss"])
+
+
+@pytest.mark.slow
+def test_single_device_train_step_loss_drops_on_fixed_batch():
+    opts = small_opts()
+    opts.lr = 1e-3
+    model = common.build_model(opts)
+    tx, _ = train_loop.make_optimizer(opts)
+    batch = make_batch(opts, 2)
+    state = train_loop.init_train_state(opts, model, tx, batch)
+    step_fn = train_loop.make_train_step(model, tx, mesh=None, use_hint_model=True)
+    cur, src = train_loop._train_batch(*batch)
+    rng = jax.random.PRNGKey(1)
+
+    vals = []
+    for i in range(12):
+        state, losses = step_fn(state, cur, src, rng)  # fixed rng: same aug
+        val = float(losses["loss"])
+        assert np.isfinite(val)
+        vals.append(val)
+    # optimizing a fixed batch must find improvement below the initial loss
+    # (first AdamW steps can wander; require the best-so-far to improve)
+    assert min(vals[1:]) < vals[0]
