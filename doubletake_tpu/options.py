@@ -155,6 +155,7 @@ class OptionsHandler:
 
     def parse_and_merge_options(self, ignore_cl_args: bool = False) -> Options:
         args = self.parser.parse_args([] if ignore_cl_args else self.argv)
+        self.last_namespace = args  # scripts can read extra registered args
         opts = Options()
 
         for path_attr in ("config_file", "data_config_file"):

@@ -107,6 +107,7 @@ def run(opts: Options, variables=None):
         )
 
         scan_metrics = ResultsAverager(opts.name, f"scan {scan_id}")
+        frame_idx = 0
         for cur_np, src_np in loader:
             cur, src = common.device_batch(cur_np, src_np)
             if variables is None:
@@ -124,6 +125,20 @@ def run(opts: Options, variables=None):
             fm["hint_coverage"] = float(np.asarray(hint["hint_mask_bhw1"]).mean())
             scan_metrics.update_results(fm)
             all_frame_avg.update_results(fm)
+
+            if opts.dump_depth_visualization:
+                from doubletake_tpu.utils.visualization import quick_viz_export
+
+                quick_viz_export(
+                    os.path.join(base, "viz"),
+                    f"{scan_id.replace('/', '_')}_{frame_idx:06d}",
+                    image_bhw3=cur_np["image_bhw3"][0],
+                    depth_pred=np.asarray(depth[0]),
+                    depth_gt=cur_np["depth_bhw1"][0],
+                    hint_depth=np.asarray(hint["depth_hint_bhw1"][0]),
+                    fixed_min_max=opts.viz_fixed_min_max,
+                )
+            frame_idx += 1
 
         scan_metrics.compute_final_average()
         scan_metrics.output_json(

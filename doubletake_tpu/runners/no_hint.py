@@ -52,11 +52,12 @@ def run(opts: Options, variables=None):
     for scan_id in scans:
         ds = dataset_from_opts(
             opts, split=opts.split, limit_to_scan_id=scan_id,
-            include_full_res_depth=True,
+            include_full_res_depth=True, pass_frame_id=opts.cache_depths,
         )
         loader = DataLoader(ds, batch_size=opts.batch_size, shuffle=False,
                             num_workers=opts.num_workers)
         scan_metrics = ResultsAverager(opts.name, f"scan {scan_id}")
+        cached_depths, cached_frame_ids = [], []
 
         tsdf = cfg = None
         if opts.run_fusion:
@@ -107,9 +108,24 @@ def run(opts: Options, variables=None):
                         cur["cam_T_world_b44"][i], cur["K_s0_b44"][i],
                     )
 
+            if opts.cache_depths:
+                cached_depths.append(np.asarray(depth))
+                cached_frame_ids.extend(cur_np.get("frame_id_string", []))
+
         scan_metrics.compute_final_average()
         scan_metrics.output_json(os.path.join(scores_dir, f"{scan_id.replace('/', '_')}_metrics.json"))
         scene_avg.update_results(scan_metrics.final_metrics)
+
+        if opts.cache_depths and cached_depths:
+            cache_dir = os.path.join(base, "depth_cache")
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(cache_dir, f"{scan_id.replace('/', '_')}_depths.npz"),
+                depths=np.concatenate(cached_depths, axis=0),
+                frame_ids=np.asarray(
+                    [fid.split("_")[-1] for fid in cached_frame_ids]
+                ),
+            )
 
         if opts.run_fusion:
             tsdf.save(os.path.join(meshes_dir, f"{scan_id.replace('/', '_')}_tsdf.npz"))

@@ -80,7 +80,9 @@ def pose_distance(pose_b44):
     Returns (combined, R_measure, t_measure), each (B,).
     """
     R_trace = jnp.trace(pose_b44[:, :3, :3], axis1=-2, axis2=-1)
-    R_measure = jnp.sqrt(2.0 * (1.0 - jnp.minimum(3.0, R_trace) / 3.0))
+    # clamp at 0: for identity rotations the argument is exactly 0 and XLA
+    # reassociation can push it to -eps, turning sqrt into NaN under jit
+    R_measure = jnp.sqrt(jnp.maximum(2.0 * (1.0 - jnp.minimum(3.0, R_trace) / 3.0), 0.0))
     t_measure = jnp.linalg.norm(pose_b44[:, :3, 3], axis=-1)
     combined = jnp.sqrt(t_measure**2 + R_measure**2)
     return combined, R_measure, t_measure
