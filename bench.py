@@ -59,7 +59,11 @@ def main():
     for c in frames:
         out, hint, tsdf = step(variables, tsdf, c, src)
         n += 1
-    jax.block_until_ready(out["depth_pred_s0_bhw1"])
+    # hard fetch: device_get defeats any asynchronous-dispatch illusions
+    # (the TSDF chaining already serializes frames; this makes the final
+    # sync unambiguous)
+    np.asarray(out["depth_pred_s0_bhw1"])
+    np.asarray(tsdf.values[0, 0, 0])
     dt = time.perf_counter() - t0
 
     maps_per_sec = n / dt

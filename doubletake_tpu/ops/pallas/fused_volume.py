@@ -1,0 +1,461 @@
+"""Fused plane-sweep metadata volume — the flagship Pallas TPU kernel.
+
+Replaces the gather-bound XLA cost-volume path (reference behavior:
+src/doubletake/modules/feature_volume.py FastFeatureVolumeManager +
+mesh_hint_volume.py) with a single kernel that, for each (depth plane,
+8-row block), performs IN VMEM:
+
+  1. exact bilinear warping of every source view's matching features via
+     separable one-hot matmuls on the MXU — Wx (x-interp across the
+     128-wide row) and a banded Wy (row mix over a 16-row band of the
+     source image). The one-hot weights reproduce
+     ``F.grid_sample(align_corners=False, padding_mode="zeros")`` exactly:
+     out-of-image samples receive zero weight;
+  2. masked dot products against the current view's features;
+  3. assembly of the 202-channel metadata matrix (visual features, masks,
+     view depths, plane depth, dots, ray angles, rays, pose distances —
+     channel order identical to the XLA path / reference checkpoints);
+  4. the matching MLP [202, 128, 128, 1] and optional hint MLP
+     [3, 12, 12, 1] on the MXU.
+
+Only the final (D, h, w) volume leaves the kernel — no multi-hundred-MB
+warped-feature or metadata intermediates ever touch HBM. Geometry
+(projection, rays, depths) is precomputed in XLA (cheap elementwise ops).
+
+Why matmuls instead of gathers: XLA lowers generic gathers on this TPU to
+~7 ns/row serial loops (~160 ms/frame measured), and Mosaic's per-lane
+``take_along_axis`` is similarly slow. The MXU one-hot formulation costs
+~0.4 TFLOP/frame of dense matmuls — milliseconds — and the weight
+construction is plain VPU elementwise work. All array manipulation sticks
+to ops Mosaic lowers well: 2-D iota/compares, lane-dim concatenation,
+static slices, matmuls (no 3-D reshapes).
+
+Band caveat: for one output row, sampled source rows must fall in a
+16-row band starting at min(floor(sy))-1 over the row (clamped to the
+image). Violations (extreme in-plane rotation) produce zeros, like
+out-of-image samples; realistic MVS trajectories stay well inside the
+band (validated in tests against the XLA path).
+
+Shapes are specialized to the flagship config: matching 96x128, 16
+channels, 64 planes (512x384 input). The general XLA path remains for
+other shapes and for training (gradients).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from doubletake_tpu.utils.geometry import (
+    normalize_vectors,
+    pixel_grid_homogeneous,
+    pose_distance,
+)
+
+_PREC = jax.lax.Precision.HIGHEST
+
+BAND = 32           # source-row band height per output row
+ROWS_PER_STEP = 8   # output rows per grid step (block alignment)
+LANES = 128         # matching width (one output row per lane vector)
+CH = 16             # matching feature channels
+MLP_IN_PAD = 256    # 202-channel MLP input padded to a lane multiple
+
+
+def _precompute_geometry(
+    src_K_k44, src_cam_T_cur_cam_k44, cur_cam_T_src_cam_k44, cur_invK_44,
+    planes_d, h, w,
+):
+    """All per-(view, plane, pixel) geometry, elementwise in XLA.
+
+    Layouts are chosen for Mosaic-friendly blocks (w second-to-last or
+    last; small trailing dims equal to the full array dim):
+      ix, iy      (k, D, h, w) fp32
+      z           (D, h, w, k) fp32 (all views as trailing columns)
+      cur_rays    (D, h, w, 3)
+      src_rays    (k, D, h, w, 3)
+      band        (k, D, h) int32
+    """
+    k = src_K_k44.shape[0]
+    d = planes_d.shape[0]
+
+    P_k44 = jnp.einsum("kij,kjl->kil", src_K_k44, src_cam_T_cur_cam_k44,
+                       precision=_PREC)
+    pix = pixel_grid_homogeneous(h, w, jnp.float32)
+    rays_3n = jnp.einsum("ij,jn->in", cur_invK_44[:3, :3], pix, precision=_PREC)
+    pts_d3n = planes_d[:, None, None] * rays_3n[None]  # (D, 3, N)
+
+    cam = (
+        jnp.einsum("kij,djn->kdin", P_k44[:, :3, :3], pts_d3n, precision=_PREC)
+        + P_k44[:, :3, 3][:, None, :, None]
+    )  # (k, D, 3, N)
+    z = cam[:, :, 2] + 1e-8
+    guard = jnp.abs(cam[:, :, 2]) > 1e-8
+    scale = jnp.where(guard, 1.0 / z, jnp.ones_like(z))
+    px = cam[:, :, :2] * scale[:, :, None]
+
+    # torch grid_sample coordinate chain, reproduced exactly:
+    # g = 2*px/size - 1 ; i = ((g+1)*size - 1)/2
+    gx = 2.0 * px[:, :, 0] / w - 1.0
+    gy = 2.0 * px[:, :, 1] / h - 1.0
+    ix = (((gx + 1.0) * w) - 1.0) / 2.0
+    iy = (((gy + 1.0) * h) - 1.0) / 2.0
+
+    ix = ix.reshape(k, d, h, w)
+    iy = iy.reshape(k, d, h, w)
+    z_dhwk = z.reshape(k, d, h, w).transpose(1, 2, 3, 0)
+
+    cur_rays = normalize_vectors(pts_d3n, axis=1)       # (D, 3, N)
+    cur_rays = cur_rays.reshape(d, 3, h, w).transpose(0, 2, 3, 1)  # (D,h,w,3)
+    centers_k3 = cur_cam_T_src_cam_k44[:, :3, 3]
+    src_rays = normalize_vectors(
+        pts_d3n[None] - centers_k3[:, None, :, None], axis=2
+    ).reshape(k, d, 3, h, w).transpose(0, 1, 3, 4, 2)   # (k, D, h, w, 3)
+
+    # band start from pixels that can actually contribute: in front of the
+    # camera and sampling inside (or touching) the image. Behind-camera
+    # pixels produce garbage coordinates that must not drag the band away.
+    v0 = jnp.floor(iy)
+    z_khw = z.reshape(k, d, h, w)
+    contributes = (z_khw > 0) & (v0 + 1 >= 0) & (v0 <= h - 1)
+    v0_masked = jnp.where(contributes, v0, jnp.inf)
+    vmin = jnp.min(v0_masked, axis=3)
+    vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
+    # align the band start DOWN to 8 rows: the kernel then slices the
+    # (W, H*C) source matrix at lane offsets that are multiples of 128,
+    # which Mosaic handles without any relayout
+    band = jnp.clip(((vmin.astype(jnp.int32) - 1) // 8) * 8, 0, h - BAND)
+    return dict(ix=ix, iy=iy, z=z_dhwk, cur_rays=cur_rays,
+                src_rays=src_rays, band=band)
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, 0.01 * x)
+
+
+def _process_row(
+    sub, d_idx, y_blk, plane_depth, consts, band_ref, src_vmem,
+    cur_feats_ref, ix_ref, iy_ref, z_ref, cur_rays_ref, src_rays_ref,
+    pose_meta_ref, hint_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref, out_ref,
+    warp_scratch, k, use_hint,
+):
+    W, C = LANES, CH
+    identity, u_iota_r, r_iota, expand_E, fold_F = consts
+    cur_row = cur_feats_ref[sub]                        # (W, C)
+    z_cols = z_ref[0, sub]                              # (W, k)
+    mask_cols = (z_cols > 0).astype(jnp.float32)        # (W, k)
+    row_off = y_blk * ROWS_PER_STEP + sub
+
+    def view_body(ki, _):
+        ix_row = ix_ref[pl.ds(ki, 1), 0, sub]           # (1, W)
+        iy_row = iy_ref[pl.ds(ki, 1), 0, sub]
+        band0 = band_ref[ki, d_idx, row_off]
+
+        # transpose ix to a column via one identity matmul, then build the
+        # x-interp one-hot STRAIGHT (out-x rows, u lanes): a dim-0-contracted
+        # dot_general would force Mosaic to transpose the operand every
+        # view-row (measured ~40% of kernel time)
+        ix_col = jax.lax.dot_general(
+            identity, ix_row, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # (W, 1)
+        x0_col = jnp.floor(ix_col)
+        wx_col = ix_col - x0_col
+        Wx = (
+            jnp.where(u_iota_r == x0_col, 1.0 - wx_col, 0.0)
+            + jnp.where(u_iota_r == x0_col + 1.0, wx_col, 0.0)
+        ).astype(jnp.bfloat16)                          # (out-x, u)
+
+        # per-out-x iy COLUMN via one identity matmul (no transposes)
+        iy_col = jax.lax.dot_general(
+            identity, iy_row, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # (W, 1)  (exact: fp32)
+        y0f = jnp.floor(iy_col)
+        y0 = y0f - band0.astype(jnp.float32)
+        wy = iy_col - y0f
+        Wy = (
+            jnp.where(r_iota == y0, 1.0 - wy, 0.0)
+            + jnp.where(r_iota == y0 + 1.0, wy, 0.0)
+        ).astype(jnp.bfloat16)                          # (W, BAND)
+
+        # band as (u=W, BAND*C): ONE aligned dynamic lane-slice of the
+        # pre-transposed (W, H*C) source matrix (r-major, c-minor lanes)
+        band_off = pl.multiple_of(band0 * CH, 128)      # band0 is 8-aligned
+        band_cols = src_vmem[ki, :, pl.ds(band_off, BAND * CH)]
+        A = jnp.dot(Wx, band_cols,
+                    preferred_element_type=jnp.float32)  # (out-x, BAND*C)
+
+        # row mix as two constant matmuls (MXU)
+        Wy_exp = jnp.dot(Wy, expand_E, preferred_element_type=jnp.float32)
+        warped = jnp.dot((A * Wy_exp).astype(jnp.bfloat16), fold_F,
+                         preferred_element_type=jnp.float32)  # (W, C)
+        warp_scratch[pl.ds(ki, 1)] = warped[None]
+        return 0
+
+    jax.lax.fori_loop(0, k, view_body, 0, unroll=False)
+
+    warps = [warp_scratch[ki] for ki in range(k)]
+    dots = [
+        (warps[ki] * cur_row).sum(axis=1, keepdims=True)
+        * mask_cols[:, ki:ki + 1]
+        for ki in range(k)
+    ]
+
+    # ---- metadata assembly (lane concat), exact reference channel order ----
+    cur_rays = cur_rays_ref[0, sub]                     # (W, 3)
+    pieces = []
+    pieces.extend(warps)                                # k * C
+    pieces.append(cur_row)                              # C
+    pieces.append(mask_cols)                            # k
+    pieces.append(z_cols)                               # k
+    pieces.append(jnp.full((W, 1), plane_depth))        # 1
+    pieces.extend(dots)                                 # k
+    for ki in range(k):                                 # ray angles: k
+        sr = src_rays_ref[ki, 0, sub]                   # (W, 3)
+        pieces.append((cur_rays * sr).sum(axis=1, keepdims=True))
+    pieces.append(cur_rays)                             # 3 (cur rays first)
+    for ki in range(k):                                 # 3k (src rays)
+        pieces.append(src_rays_ref[ki, 0, sub])
+    pose_meta = pose_meta_ref[0:1, :]                   # (1, 3k)
+    pieces.append(jnp.broadcast_to(pose_meta, (W, pose_meta.shape[1])))
+
+    meta = jnp.concatenate(pieces, axis=1)              # (W, 202)
+    pad = MLP_IN_PAD - meta.shape[1]
+    meta = jnp.concatenate([meta, jnp.zeros((W, pad), jnp.float32)], axis=1)
+
+    # ---- matching MLP ----
+    meta_b = meta.astype(jnp.bfloat16)
+    h1 = _leaky(jnp.dot(meta_b, w1_ref[:].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + b1_ref[0:1, :])
+    h2 = _leaky(jnp.dot(h1.astype(jnp.bfloat16), w2_ref[:].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + b2_ref[0:1, :])
+    score = (
+        jnp.dot(h2.astype(jnp.bfloat16), w3_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)[:, 0:1]
+        + b3_ref[0, 0]
+    )                                                   # (W, 1)
+
+    if use_hint:
+        hint = hint_ref[sub]                            # (W, 3)
+        valid = hint[:, 1:2] > 0.5
+        diff = jnp.where(valid, jnp.abs(hint[:, 0:1] - plane_depth), -1.0)
+        wts = jnp.where(valid, hint[:, 2:3], 0.0)
+        hx = jnp.concatenate(
+            [score, diff, wts, jnp.zeros((W, 5), jnp.float32)], axis=1
+        )                                               # (W, 8)
+        g1 = _leaky(jnp.dot(hx, hw1_ref[:], preferred_element_type=jnp.float32)
+                    + hb1_ref[0:1, :])
+        g2 = _leaky(jnp.dot(g1, hw2_ref[:], preferred_element_type=jnp.float32)
+                    + hb2_ref[0:1, :])
+        score = (
+            jnp.dot(g2, hw3_ref[:], preferred_element_type=jnp.float32)[:, 0:1]
+            + hb3_ref[0, 0]
+        )
+
+    out_ref[0, sub] = score[:, 0]
+
+
+def _kernel(
+    band_ref, src_t_ref, cur_feats_ref, ix_ref, iy_ref, z_ref,
+    cur_rays_ref, src_rays_ref, plane_ref, pose_meta_ref, hint_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
+    out_ref, src_vmem, warp_scratch, copy_sem, *, num_views: int,
+    use_hint: bool,
+):
+    W, C = LANES, CH
+    d_idx = pl.program_id(0)
+    y_blk = pl.program_id(1)
+    plane_depth = plane_ref[d_idx % 8, 0]
+
+    # the source-feature matrix is grid-invariant: DMA it into VMEM ONCE on
+    # the first step (a VMEM-blocked input would be re-copied every step —
+    # measured at 165 ms/frame of pure pipeline overhead)
+    @pl.when(jnp.logical_and(d_idx == 0, y_blk == 0))
+    def _copy_src():
+        copy = pltpu.make_async_copy(src_t_ref, src_vmem, copy_sem)
+        copy.start()
+        copy.wait()
+
+    # loop-invariant constant matrices, built once per grid step
+    identity = (
+        jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    ).astype(jnp.float32)
+    u_iota_r = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1).astype(
+        jnp.float32
+    )
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, BAND), 1).astype(
+        jnp.float32
+    )
+    rc_div = jax.lax.broadcasted_iota(jnp.int32, (BAND, BAND * C), 1) // C
+    r_row = jax.lax.broadcasted_iota(jnp.int32, (BAND, BAND * C), 0)
+    expand_E = (rc_div == r_row).astype(jnp.bfloat16)
+    rc_mod = jax.lax.broadcasted_iota(jnp.int32, (BAND * C, C), 0) % C
+    c_col = jax.lax.broadcasted_iota(jnp.int32, (BAND * C, C), 1)
+    fold_F = (rc_mod == c_col).astype(jnp.bfloat16)
+    consts = (identity, u_iota_r, r_iota, expand_E, fold_F)
+
+    for sub in range(ROWS_PER_STEP):
+        _process_row(
+            sub, d_idx, y_blk, plane_depth, consts, band_ref, src_vmem,
+            cur_feats_ref, ix_ref, iy_ref, z_ref, cur_rays_ref, src_rays_ref,
+            pose_meta_ref, hint_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+            hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
+            out_ref, warp_scratch, num_views, use_hint,
+        )
+
+
+def pad_mlp_weights(mlp_params, hint_params=None):
+    """Pad checkpoint MLP weights to MXU-friendly shapes (jnp-safe)."""
+    def arr(x):
+        return jnp.asarray(x, jnp.float32)
+
+    w1 = arr(mlp_params["linear_0"]["kernel"])          # (202, 128)
+    b1 = arr(mlp_params["linear_0"]["bias"])
+    w2 = arr(mlp_params["linear_1"]["kernel"])
+    b2 = arr(mlp_params["linear_1"]["bias"])
+    w3 = arr(mlp_params["linear_2"]["kernel"])          # (128, 1)
+    b3 = arr(mlp_params["linear_2"]["bias"])
+
+    w1p = jnp.zeros((MLP_IN_PAD, 128), jnp.float32).at[: w1.shape[0]].set(w1)
+    w3p = jnp.zeros((128, 128), jnp.float32).at[:, 0].set(w3[:, 0])
+    out = [w1p, b1[None], w2, b2[None], w3p, b3.reshape(1, 1)]
+
+    if hint_params is not None:
+        hw1 = arr(hint_params["linear_0"]["kernel"])    # (3, 12)
+        hb1 = arr(hint_params["linear_0"]["bias"])
+        hw2 = arr(hint_params["linear_1"]["kernel"])
+        hb2 = arr(hint_params["linear_1"]["bias"])
+        hw3 = arr(hint_params["linear_2"]["kernel"])    # (12, 1)
+        hb3 = arr(hint_params["linear_2"]["bias"])
+        hw1p = jnp.zeros((8, 16), jnp.float32).at[:3, :12].set(hw1)
+        hb1p = jnp.zeros((1, 16), jnp.float32).at[0, :12].set(hb1)
+        hw2p = jnp.zeros((16, 16), jnp.float32).at[:12, :12].set(hw2)
+        hb2p = jnp.zeros((1, 16), jnp.float32).at[0, :12].set(hb2)
+        hw3p = jnp.zeros((16, 16), jnp.float32).at[:12, 0].set(hw3[:, 0])
+        out += [hw1p, hb1p, hw2p, hb2p, hw3p, hb3.reshape(1, 1)]
+    else:
+        out += [jnp.zeros((8, 16), jnp.float32), jnp.zeros((1, 16), jnp.float32),
+                jnp.zeros((16, 16), jnp.float32), jnp.zeros((1, 16), jnp.float32),
+                jnp.zeros((16, 16), jnp.float32), jnp.zeros((1, 1), jnp.float32)]
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_depth_bins", "use_hint", "interpret")
+)
+def fused_feature_volume(
+    cur_feats_hwc,
+    src_feats_khwc,
+    src_cam_T_cur_cam_k44,
+    cur_cam_T_src_cam_k44,
+    src_K_k44,
+    cur_invK_44,
+    min_depth,
+    max_depth,
+    mlp_weights,
+    hint_hw3=None,
+    num_depth_bins: int = 64,
+    use_hint: bool = False,
+    interpret: bool = False,
+):
+    """(D, h, w) metadata feature volume via the fused kernel.
+
+    Single-sample (no batch dim). hint_hw3: (h, w, 3) stacked
+    [depth (non-finite allowed; gated by valid), valid 0/1, weights].
+    Returns (volume_dhw, planes_d).
+    """
+    h, w, c = cur_feats_hwc.shape
+    k = src_feats_khwc.shape[0]
+    assert w == LANES and c == CH, "fused kernel is specialized to w=128, c=16"
+    assert h % ROWS_PER_STEP == 0
+    D = num_depth_bins
+
+    ramp = jnp.linspace(0.0, 1.0, D)
+    planes_d = jnp.exp(jnp.log(min_depth) + jnp.log(max_depth / min_depth) * ramp)
+
+    geo = _precompute_geometry(
+        src_K_k44, src_cam_T_cur_cam_k44, cur_cam_T_src_cam_k44, cur_invK_44,
+        planes_d, h, w,
+    )
+
+    pd, rm, tm = pose_distance(cur_cam_T_src_cam_k44)
+    pose_meta = jnp.concatenate([pd, rm, tm])[None].astype(jnp.float32)
+
+    if hint_hw3 is None:
+        hint_hw3 = jnp.zeros((h, w, 3), jnp.float32)
+    hint_clean = jnp.where(jnp.isfinite(hint_hw3), hint_hw3, 0.0).astype(
+        jnp.float32
+    )
+
+    plane_table = jnp.broadcast_to(planes_d[:, None], (D, 128)).astype(
+        jnp.float32
+    )
+    # (k, W, H*C): x is the matmul contraction dim; lanes are (row-major,
+    # channel-minor) so a band is one contiguous, 128-aligned lane slice
+    # bf16 in HBM/VMEM: the MXU rounds the matmul rhs to bf16 regardless,
+    # and fp32 would blow the 16MB VMEM budget (src copy is 5.5MB fp32)
+    src_t = (
+        src_feats_khwc.astype(jnp.bfloat16)
+        .transpose(0, 2, 1, 3)
+        .reshape(k, w, h * c)
+    )
+
+    volume = pl.pallas_call(
+        functools.partial(_kernel, num_views=k, use_hint=use_hint),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(D, h // ROWS_PER_STEP),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((ROWS_PER_STEP, w, c), lambda d, y, *_: (y, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, 1, ROWS_PER_STEP, w),
+                             lambda d, y, *_: (0, d, y, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, 1, ROWS_PER_STEP, w),
+                             lambda d, y, *_: (0, d, y, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ROWS_PER_STEP, w, k),
+                             lambda d, y, *_: (d, y, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ROWS_PER_STEP, w, 3),
+                             lambda d, y, *_: (d, y, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, 1, ROWS_PER_STEP, w, 3),
+                             lambda d, y, *_: (0, d, y, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda d, y, *_: (d // 8, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * k), lambda d, y, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROWS_PER_STEP, w, 3), lambda d, y, *_: (y, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+            out_specs=pl.BlockSpec((1, ROWS_PER_STEP, w),
+                                   lambda d, y, *_: (d, y, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((k, LANES, h * c), jnp.bfloat16),
+                pltpu.VMEM((k, LANES, CH), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((D, h, w), jnp.float32),
+        interpret=interpret,
+    )(
+        geo["band"],
+        src_t,
+        cur_feats_hwc.astype(jnp.float32),
+        geo["ix"], geo["iy"], geo["z"],
+        geo["cur_rays"], geo["src_rays"],
+        plane_table, pose_meta, hint_clean,
+        *mlp_weights,
+    )
+    return volume, planes_d

@@ -23,16 +23,35 @@ import jax.numpy as jnp
 
 
 def interpolate_nearest(x_nhwc, out_hw):
-    """torch F.interpolate(mode="nearest") parity: src = floor(dst * in/out)."""
+    """torch F.interpolate(mode="nearest") parity: src = floor(dst * in/out).
+
+    Integer up/down ratios use gather-free repeat/stride (the common hot
+    cases); general ratios fall back to constant-index takes.
+    """
     n, h, w, c = x_nhwc.shape
     oh, ow = out_hw
     if (oh, ow) == (h, w):
         return x_nhwc
-    ys = jnp.floor(jnp.arange(oh, dtype=jnp.float32) * (h / oh)).astype(jnp.int32)
-    xs = jnp.floor(jnp.arange(ow, dtype=jnp.float32) * (w / ow)).astype(jnp.int32)
-    ys = jnp.clip(ys, 0, h - 1)
-    xs = jnp.clip(xs, 0, w - 1)
-    return x_nhwc[:, ys][:, :, xs]
+    out = x_nhwc
+    # height
+    if oh != h:
+        if oh % h == 0:
+            out = jnp.repeat(out, oh // h, axis=1)
+        elif h % oh == 0:
+            out = out[:, :: h // oh]
+        else:
+            ys = np.clip(np.floor(np.arange(oh) * (h / oh)).astype(np.int32), 0, h - 1)
+            out = jnp.take(out, jnp.asarray(ys), axis=1)
+    # width
+    if ow != w:
+        if ow % w == 0:
+            out = jnp.repeat(out, ow // w, axis=2)
+        elif w % ow == 0:
+            out = out[:, :, :: w // ow]
+        else:
+            xs = np.clip(np.floor(np.arange(ow) * (w / ow)).astype(np.int32), 0, w - 1)
+            out = jnp.take(out, jnp.asarray(xs), axis=2)
+    return out
 
 
 def interpolate_bilinear(x_nhwc, out_hw):
@@ -64,10 +83,26 @@ def interpolate_bilinear(x_nhwc, out_hw):
     return x_rows[:, :, xlo] * (1.0 - wx) + x_rows[:, :, xhi] * wx
 
 
+def _upsample2x_axis(x, axis):
+    """Exact 2x bilinear (align_corners=False) along one axis, gather-free.
+
+    Output sample positions are (j + 0.5)/2 - 0.5 = j/2 - 0.25: even outputs
+    mix (0.25 prev, 0.75 cur), odd outputs mix (0.75 cur, 0.25 next), with
+    edge clamping — implemented with shifts + interleave (XLA lowers gathers
+    on TPU to serial loops; this stays fully vectorized).
+    """
+    x = jnp.moveaxis(x, axis, 1)  # (n, L, ...)
+    prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    nxt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    out = jnp.stack([even, odd], axis=2).reshape((x.shape[0], 2 * x.shape[1]) + x.shape[2:])
+    return jnp.moveaxis(out, 1, axis)
+
+
 def upsample2x_bilinear(x_nhwc):
     """2x bilinear upsample, align_corners=False (decoder skip upsampling)."""
-    n, h, w, c = x_nhwc.shape
-    return interpolate_bilinear(x_nhwc, (2 * h, 2 * w))
+    return _upsample2x_axis(_upsample2x_axis(x_nhwc, 1), 2)
 
 
 _PASCAL3 = np.array([1.0, 2.0, 1.0])
