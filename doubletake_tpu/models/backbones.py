@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from doubletake_tpu.models.layers import (
+    MatmulConv,
     avg_pool,
     batch_norm,
     blur_pool,
@@ -155,7 +156,7 @@ class ConvBnAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         shortcut = x
-        y = nn.Conv(self.out_chs, (3, 3), (self.stride, self.stride), padding="SAME",
+        y = MatmulConv(self.out_chs, (3, 3), (self.stride, self.stride), padding="SAME",
                     use_bias=False, name="conv")(x)
         y = batch_norm(train, self.bn_eps, name="bn1")(y)
         y = _silu(y)
@@ -177,11 +178,11 @@ class EdgeResidual(nn.Module):
         in_chs = x.shape[-1]
         mid = int(in_chs * self.exp_ratio)
         shortcut = x
-        y = nn.Conv(mid, (3, 3), (self.stride, self.stride), padding="SAME",
+        y = MatmulConv(mid, (3, 3), (self.stride, self.stride), padding="SAME",
                     use_bias=False, name="conv_exp")(x)
         y = batch_norm(train, self.bn_eps, name="bn1")(y)
         y = _silu(y)
-        y = nn.Conv(self.out_chs, (1, 1), (1, 1), padding="SAME", use_bias=False,
+        y = MatmulConv(self.out_chs, (1, 1), (1, 1), padding="SAME", use_bias=False,
                     name="conv_pwl")(y)
         y = batch_norm(train, self.bn_eps, name="bn2")(y)
         if self.stride == 1 and in_chs == self.out_chs:
@@ -207,15 +208,15 @@ class InvertedResidual(nn.Module):
         in_chs = x.shape[-1]
         mid = int(in_chs * self.exp_ratio)
         shortcut = x
-        y = nn.Conv(mid, (1, 1), (1, 1), padding="SAME", use_bias=False, name="conv_pw")(x)
+        y = MatmulConv(mid, (1, 1), (1, 1), padding="SAME", use_bias=False, name="conv_pw")(x)
         y = batch_norm(train, self.bn_eps, name="bn1")(y)
         y = _silu(y)
-        y = nn.Conv(mid, (3, 3), (self.stride, self.stride), padding="SAME",
+        y = MatmulConv(mid, (3, 3), (self.stride, self.stride), padding="SAME",
                     use_bias=False, feature_group_count=mid, name="conv_dw")(y)
         y = batch_norm(train, self.bn_eps, name="bn2")(y)
         y = _silu(y)
         y = SqueezeExcite(max(1, int(in_chs * self.se_ratio)), name="se")(y)
-        y = nn.Conv(self.out_chs, (1, 1), (1, 1), padding="SAME", use_bias=False,
+        y = MatmulConv(self.out_chs, (1, 1), (1, 1), padding="SAME", use_bias=False,
                     name="conv_pwl")(y)
         y = batch_norm(train, self.bn_eps, name="bn3")(y)
         if self.stride == 1 and in_chs == self.out_chs:
@@ -245,7 +246,7 @@ class EfficientNetV2S(nn.Module):
 
     @nn.compact
     def __call__(self, x_nhw3, train: bool = False):
-        x = nn.Conv(24, (3, 3), (2, 2), padding="SAME", use_bias=False,
+        x = MatmulConv(24, (3, 3), (2, 2), padding="SAME", use_bias=False,
                     name="conv_stem")(x_nhw3)
         x = batch_norm(train, self.bn_eps, name="bn1")(x)
         x = _silu(x)

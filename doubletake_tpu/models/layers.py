@@ -36,6 +36,80 @@ def instance_norm(x_nhwc, eps: float = 1e-5):
     return (x_nhwc - mean) * jax.lax.rsqrt(var + eps)
 
 
+class MatmulConv(nn.Module):
+    """Convolution lowered to shifted matmuls — drop-in for nn.Conv.
+
+    On this TPU stack XLA's dense convolutions run at ~0.16 TFLOP/s while
+    matmuls hit ~20 TFLOP/s (see PERF_NOTES.md); a KxK conv decomposed into
+    K*K strided-slice + (N·OH·OW, Cin)@(Cin, Cout) matmuls recovers matmul
+    throughput. Identical parameter structure to nn.Conv (kernel HWIO +
+    bias), so checkpoints and converters are unaffected. Depthwise convs
+    (feature_group_count == in features) fall back to lax conv, which is
+    fast here.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: object = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        sh, sw = self.strides
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin // self.feature_group_count, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+
+        if self.feature_group_count != 1:
+            # depthwise/grouped: lax conv path is fast for these
+            out = jax.lax.conv_general_dilated(
+                x, kernel, (sh, sw), self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count,
+            )
+            return out + bias if bias is not None else out
+
+        n, h, w, _ = x.shape
+        if self.padding == "SAME":
+            oh = -(-h // sh)
+            ow = -(-w // sw)
+            pad_h = max((oh - 1) * sh + kh - h, 0)
+            pad_w = max((ow - 1) * sw + kw - w, 0)
+            pads = ((pad_h // 2, pad_h - pad_h // 2),
+                    (pad_w // 2, pad_w - pad_w // 2))
+        else:
+            pads = tuple(self.padding)
+            oh = (h + pads[0][0] + pads[0][1] - kh) // sh + 1
+            ow = (w + pads[1][0] + pads[1][1] - kw) // sw + 1
+
+        xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+        out = None
+        for i in range(kh):
+            for j in range(kw):
+                piece = jax.lax.slice(
+                    xp,
+                    (0, i, j, 0),
+                    (n, i + (oh - 1) * sh + 1, j + (ow - 1) * sw + 1, cin),
+                    (1, sh, sw, 1),
+                )
+                term = jnp.einsum("nhwc,cf->nhwf", piece, kernel[i, j])
+                out = term if out is None else out + term
+        if bias is not None:
+            out = out + bias
+        return out
+
+
 def conv(
     features: int,
     kernel: int,
@@ -49,7 +123,7 @@ def conv(
     """torch-style conv wrapper: integer padding means symmetric zero pad."""
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
-    return nn.Conv(
+    return MatmulConv(
         features=features,
         kernel_size=(kernel, kernel),
         strides=(stride, stride),
