@@ -267,12 +267,63 @@ class EfficientNetV2S(nn.Module):
         return feats
 
 
+class TinyEncoder(nn.Module):
+    """Toy 5-scale image encoder for CI/dryrun configs (no reference analog).
+
+    One stride-2 conv + BN + ReLU per scale, tiny channels. Exists so the
+    full sharded train step (fwd+bwd over the mesh) compiles and runs in
+    seconds on virtual CPU devices — the multichip validation path.
+    """
+
+    feature_channels = (8, 8, 16, 16, 16)
+
+    @nn.compact
+    def __call__(self, x_nhw3, train: bool = False):
+        feats = []
+        x = x_nhw3
+        for si, ch in enumerate(self.feature_channels):
+            x = conv(ch, 3, 2, 1, use_bias=False, name=f"conv{si}")(x)
+            x = batch_norm(train, name=f"bn{si}")(x)
+            x = nn.relu(x)
+            feats.append(x)
+        return feats
+
+
+class TinyMatchingEncoder(nn.Module):
+    """Toy stride-4 matching encoder for CI/dryrun configs."""
+
+    num_ch_out: int = 16
+
+    @nn.compact
+    def __call__(self, x_nhw3, train: bool = False):
+        x = conv(16, 3, 2, 1, name="conv0")(x_nhw3)
+        x = leaky_relu(x, 0.2)
+        x = conv(self.num_ch_out, 3, 2, 1, name="conv1")(x)
+        return instance_norm(x)
+
+
+def get_matching_encoder(matching_encoder_type: str, num_ch_out: int = 16) -> nn.Module:
+    """Matching-encoder factory (reference sr_depth_model.py:196-218 selects
+    on opts.matching_encoder_type: 'resnet' or 'fpn')."""
+    if matching_encoder_type == "resnet":
+        return ResnetMatchingEncoder(num_ch_out)
+    if matching_encoder_type in ("fpn", "unet"):
+        from doubletake_tpu.models.unet_encoder import UNetMatchingEncoder
+
+        return UNetMatchingEncoder(num_ch_out)
+    if matching_encoder_type == "tiny":
+        return TinyMatchingEncoder(num_ch_out)
+    raise ValueError(f"Unrecognized matching encoder: {matching_encoder_type}")
+
+
 def get_image_encoder(name: str) -> nn.Module:
     """Image-prior encoder factory (reference sr_depth_model.py:127-138)."""
     if "efficientnet" in name:
         return EfficientNetV2S()
     if "resnet18d" in name:
         return ResNet18D()
+    if "tiny" in name:
+        return TinyEncoder()
     raise ValueError(f"Unrecognized image encoder: {name}")
 
 
@@ -281,4 +332,6 @@ def encoder_feature_channels(name: str) -> Sequence[int]:
         return list(EfficientNetV2S.feature_channels)
     if "resnet18d" in name:
         return list(ResNet18D.feature_channels)
+    if "tiny" in name:
+        return list(TinyEncoder.feature_channels)
     raise ValueError(f"Unrecognized image encoder: {name}")

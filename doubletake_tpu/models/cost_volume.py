@@ -110,6 +110,7 @@ class CostVolumeDot(nn.Module):
 
     num_depth_bins: int = 64
     plane_chunk: int = 16
+    use_pallas: bool = False  # accepted for interface parity; dot volume has no kernel
 
     @nn.compact
     def __call__(
@@ -160,6 +161,7 @@ class FeatureVolume(nn.Module):
     mlp_hidden: int = 128
     plane_chunk: int = 16
     use_hint_mlp: bool = False
+    use_pallas: bool = False  # route through the fused Pallas kernel (TPU only)
 
     def setup(self):
         # channel count is data-dependent (k, c) but the MLP is built lazily

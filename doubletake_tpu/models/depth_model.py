@@ -26,9 +26,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from doubletake_tpu.models.backbones import (
-    ResnetMatchingEncoder,
     encoder_feature_channels,
     get_image_encoder,
+    get_matching_encoder,
 )
 from doubletake_tpu.models.cost_volume import get_volume_class
 from doubletake_tpu.models.decoders import CVEncoder, DepthDecoderPP, SkipDecoderRegression
@@ -43,6 +43,7 @@ class DepthModel(nn.Module):
     image_encoder_name: str = "efficientnet"
     depth_decoder_name: str = "unet_pp"
     feature_volume_type: str = "mlp_feature_volume"
+    matching_encoder_type: str = "resnet"
     matching_scale: int = 1
     matching_num_depth_bins: int = 64
     matching_feature_dims: int = 16
@@ -50,13 +51,17 @@ class DepthModel(nn.Module):
     min_matching_depth: float = 0.25
     max_matching_depth: float = 5.0
     plane_chunk: int = 16
+    fast_cost_volume: bool = False
 
     def setup(self):
         self.encoder = get_image_encoder(self.image_encoder_name)
-        self.matching_model = ResnetMatchingEncoder(self.matching_feature_dims)
+        self.matching_model = get_matching_encoder(
+            self.matching_encoder_type, self.matching_feature_dims
+        )
         self.cost_volume = get_volume_class(self.feature_volume_type)(
             num_depth_bins=self.matching_num_depth_bins,
             plane_chunk=self.plane_chunk,
+            use_pallas=self.fast_cost_volume,
         )
         self.cost_volume_net = CVEncoder(num_ch_outs=(64, 128, 256, 384))
         if self.depth_decoder_name == "unet_pp":

@@ -71,10 +71,13 @@ class MatmulConv(nn.Module):
             else None
         )
 
-        if self.feature_group_count != 1:
-            # depthwise/grouped: lax conv path is fast for these
+        if self.feature_group_count != 1 or jax.default_backend() == "cpu":
+            # depthwise/grouped convs are fast on TPU via lax; on CPU (tests,
+            # the virtual-device multichip dryrun) eigen convs beat the K*K
+            # einsum unroll by a wide margin, so always use lax conv there.
+            pad = self.padding if isinstance(self.padding, str) else tuple(self.padding)
             out = jax.lax.conv_general_dilated(
-                x, kernel, (sh, sw), self.padding,
+                x, kernel, (sh, sw), pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.feature_group_count,
             )

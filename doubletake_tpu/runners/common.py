@@ -40,6 +40,7 @@ def build_model(opts: Options):
         image_encoder_name=opts.image_encoder_name,
         depth_decoder_name=opts.depth_decoder_name,
         feature_volume_type=opts.feature_volume_type,
+        matching_encoder_type=opts.matching_encoder_type,
         matching_scale=opts.matching_scale,
         matching_num_depth_bins=opts.matching_num_depth_bins,
         matching_feature_dims=opts.matching_feature_dims,
@@ -47,6 +48,7 @@ def build_model(opts: Options):
         min_matching_depth=opts.min_matching_depth,
         max_matching_depth=opts.max_matching_depth,
         plane_chunk=opts.plane_chunk,
+        fast_cost_volume=opts.fast_cost_volume,
     )
 
 

@@ -219,6 +219,67 @@ def sample_tsdf(tsdf: TSDF, world_points_n3, what: str = "tsdf", method: str = "
     return grid_sample_3d(vol[..., None], pts, mode=method)[:, 0]
 
 
+def _build_ray_table(tsdf: TSDF):
+    """Pack (values, weights) into a gather-friendly row table.
+
+    One row per (x0, y0, z-block-of-4): the 2x2 xy-neighborhood's values and
+    weights over 8 consecutive z levels starting at 4*zb — so ONE row gather
+    provides every operand of a trilinear sample whose floor cell is
+    (x0, y0, z0 in [4*zb, 4*zb+3]). Row layout (64 bf16 lanes):
+      [v00(8) w00(8) v01(8) w01(8) v10(8) w10(8) v11(8) w11(8)]
+    with corner cq = (x0+q//2, y0+q%2). Neighbors past the volume edge are
+    zero (both value and weight), which reproduces grid_sample's zeros
+    padding exactly.
+
+    Why: generic per-sample trilinear gathers serialize on this TPU
+    (~5 ns/row regardless of width — see scripts/probe_gathers.py), so the
+    win is ONE wide row gather per sample instead of 8 scalar gathers.
+    """
+    X, Y, Z = tsdf.dims
+    zb = -(-max(Z - 1, 1) // 4)  # blocks covering z0 in [0, Z-2]
+    zpad = zb * 4 + 4
+
+    def blocks(vol):
+        v = jnp.pad(vol, ((0, 0), (0, 0), (0, zpad - Z))).astype(jnp.bfloat16)
+        lo = v[:, :, : zb * 4].reshape(X, Y, zb, 4)
+        hi = v[:, :, 4: zb * 4 + 4].reshape(X, Y, zb, 4)
+        return jnp.concatenate([lo, hi], axis=-1)  # (X, Y, zb, 8)
+
+    v8, w8 = blocks(tsdf.values), blocks(tsdf.weights)
+    vw = jnp.concatenate([v8, w8], axis=-1)  # (X, Y, zb, 16)
+    y1 = jnp.pad(vw[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    xy = jnp.concatenate([vw, y1], axis=-1)  # (X, Y, zb, 32): (y0, y1)
+    x1 = jnp.pad(xy[1:], ((0, 1), (0, 0), (0, 0), (0, 0)))
+    table = jnp.concatenate([xy, x1], axis=-1)  # (X, Y, zb, 64): (x0, x1)
+    return table.reshape(X * Y * zb, 64), zb
+
+
+def _trilinear_from_rows(rows_n64, fx, fy, fz, zoff):
+    """Trilinear (value, weight) from packed table rows.
+
+    rows_n64: (N, 64) rows from _build_ray_table; fx/fy/fz fractional parts;
+    zoff = z0 - 4*zb in [0, 3].
+    """
+    lanes = jnp.arange(64, dtype=jnp.int32)
+    zl = lanes % 8          # z position within the block
+    grp = lanes // 8        # 0..7: (corner, value/weight) group
+    corner = grp // 2       # 0: (x0,y0) 1: (x0,y1) 2: (x1,y0) 3: (x1,y1)
+    is_weight = (grp % 2) == 1
+
+    zo = zoff[:, None]
+    wz = (
+        jnp.where(zl[None] == zo, 1.0 - fz[:, None], 0.0)
+        + jnp.where(zl[None] == zo + 1, fz[:, None], 0.0)
+    )
+    cx = jnp.where((corner[None] // 2) == 1, fx[:, None], 1.0 - fx[:, None])
+    cy = jnp.where((corner[None] % 2) == 1, fy[:, None], 1.0 - fy[:, None])
+    w = wz * cx * cy
+    r = rows_n64.astype(jnp.float32)
+    val = jnp.sum(jnp.where(is_weight[None], 0.0, w * r), axis=-1)
+    wt = jnp.sum(jnp.where(is_weight[None], w * r, 0.0), axis=-1)
+    return val, wt
+
+
 def raycast(
     tsdf: TSDF,
     world_T_cam_44,
@@ -232,18 +293,26 @@ def raycast(
 ):
     """Render hint depth + confidence by ray-marching the TSDF.
 
-    For each pixel, march along the camera ray at ``num_samples`` z-depths
-    and find the first observed + -> - zero crossing of the TSDF; refine the
-    crossing by linear interpolation (the same rule marching cubes uses on
-    edges, so depths agree with the reference's MC+rasterize hints up to
-    sampling). Returns (depth_hw, weight_hw, valid_hw):
+    For each pixel, march ``num_samples`` z-depths along the camera ray —
+    clipped per pixel to the ray's intersection with the volume's interior
+    box, so samples are never wasted outside the volume — and find the first
+    observed + -> - zero crossing of the TSDF; refine the crossing by linear
+    interpolation (the same rule marching cubes uses on edges, so depths
+    agree with the reference's MC+rasterize hints up to sampling). Sampling
+    is one packed-row gather per sample (see _build_ray_table) instead of
+    gather-per-corner trilinear — the former ~20x speedup on this platform.
+
+    Replaces the reference's mesh+rasterize hint render
+    (src/doubletake/utils/rendering_utils.py:21-53, test_incremental.py:187-258).
+
+    Returns (depth_hw, weight_hw, valid_hw):
       depth  — z-depth of the surface (matches PyTorch3D zbuf semantics),
-      weight — trilinearly sampled fusion weight at the surface point
-               (what the reference samples from the TSDF at rendered points,
-               test_incremental.py:230-244),
+      weight — trilinearly sampled fusion weight at the surface point,
       valid  — crossing found.
     """
+    X, Y, Z = tsdf.dims
     n = height * width
+    S = num_samples
     ys, xs = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.float32), jnp.arange(width, dtype=jnp.float32),
         indexing="ij",
@@ -254,17 +323,59 @@ def raycast(
     t = world_T_cam_44[:3, 3]
     rays_world = jnp.matmul(R, rays_cam, precision=_PREC)  # (3, N)
 
-    zs = jnp.linspace(min_depth, max_depth, num_samples)  # (S,)
-    # world sample points: (S, N, 3)
-    pts = rays_world.T[None] * zs[:, None, None] + t
+    # ray in voxel coordinates: v(s) = ov + s * dv (s is camera z-depth)
+    ov = ((t - tsdf.origin) / tsdf.voxel_size)[:, None]          # (3, 1)
+    dv = rays_world / tsdf.voxel_size                            # (3, N)
+    dims = jnp.asarray([X - 1, Y - 1, Z - 1], jnp.float32)[:, None]
 
-    flat = pts.reshape(-1, 3)
-    vals = sample_tsdf(tsdf, flat, "tsdf").reshape(num_samples, n)
-    wts = sample_tsdf(tsdf, flat, "weights").reshape(num_samples, n)
+    # slab clip against the interior box [0, dims-1] (trilinear support)
+    safe_dv = jnp.where(jnp.abs(dv) > 1e-12, dv, 1e-12)
+    ta = (0.0 - ov) / safe_dv
+    tb = (dims - ov) / safe_dv
+    t_lo = jnp.minimum(ta, tb)
+    t_hi = jnp.maximum(ta, tb)
+    parallel = jnp.abs(dv) <= 1e-12
+    inside = (ov >= 0.0) & (ov <= dims)
+    t_lo = jnp.where(parallel, jnp.where(inside, -jnp.inf, jnp.inf), t_lo)
+    t_hi = jnp.where(parallel, jnp.where(inside, jnp.inf, -jnp.inf), t_hi)
+    t_enter = jnp.maximum(jnp.max(t_lo, axis=0), min_depth)      # (N,)
+    t_exit = jnp.minimum(jnp.min(t_hi, axis=0), max_depth)
+    hit_box = t_exit > t_enter
+    t_exit = jnp.maximum(t_exit, t_enter)
+
+    u = jnp.linspace(0.0, 1.0, S)                                # (S,)
+    zs = t_enter[None] + u[:, None] * (t_exit - t_enter)[None]   # (S, N)
+    dz = (t_exit - t_enter) / (S - 1)                            # (N,)
+
+    table, zb = _build_ray_table(tsdf)
+
+    def sample(zs_flat):
+        """Trilinear (tsdf, weight) at depths zs_flat (per-pixel tiled N)."""
+        m = zs_flat.shape[0] // n
+        v = ov[None] + zs_flat.reshape(m, 1, n) * dv[None]       # (m, 3, N)
+        v = jnp.clip(
+            v.transpose(0, 2, 1).reshape(-1, 3),
+            0.0,
+            jnp.asarray([X - 1, Y - 1, Z - 1], jnp.float32) - 1e-4,
+        )
+        v0 = jnp.floor(v)
+        f = v - v0
+        i = v0.astype(jnp.int32)
+        zblk = i[:, 2] // 4
+        idx = (i[:, 0] * Y + i[:, 1]) * zb + zblk
+        rows = jnp.take(table, idx, axis=0)
+        return _trilinear_from_rows(
+            rows, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4
+        )
+
+    vals_flat, wts_flat = sample(zs.reshape(-1))
+    vals = vals_flat.reshape(S, n)
+    wts = wts_flat.reshape(S, n)
 
     observed = wts > weight_epsilon
     prev_vals, cur_vals = vals[:-1], vals[1:]
     crossing = (prev_vals > 0) & (cur_vals <= 0) & observed[:-1] & observed[1:]
+    crossing = crossing & hit_box[None]
 
     first = jnp.argmax(crossing, axis=0)  # (N,) first True (0 if none)
     valid = jnp.any(crossing, axis=0)
@@ -272,11 +383,9 @@ def raycast(
     v0 = jnp.take_along_axis(prev_vals, first[None], axis=0)[0]
     v1 = jnp.take_along_axis(cur_vals, first[None], axis=0)[0]
     frac = v0 / jnp.maximum(v0 - v1, 1e-12)
-    dz = zs[1] - zs[0]
-    depth = zs[first] + frac * dz
+    depth = jnp.take_along_axis(zs, first[None], axis=0)[0] + frac * dz
 
-    surf_pts = rays_world.T * depth[:, None] + t
-    surf_w = sample_tsdf(tsdf, surf_pts, "weights")
+    _, surf_w = sample(depth)
 
     depth = jnp.where(valid, depth, jnp.nan)
     return (

@@ -17,14 +17,15 @@ from doubletake_tpu.training.augmentation import color_jitter
 def small_opts():
     o = Options()
     o.dataset = "synthetic"
-    o.image_width, o.image_height = 96, 64
-    o.image_encoder_name = "resnet18d"
+    o.image_width, o.image_height = 64, 32
+    o.image_encoder_name = "tiny"
+    o.matching_encoder_type = "tiny"
     o.depth_decoder_name = "skip"
     o.model_type = "cv_hint_depth_model"
     o.feature_volume_type = "mlp_mesh_hint_feature_volume"
-    o.matching_num_depth_bins = 16
+    o.matching_num_depth_bins = 8
     o.plane_chunk = 8
-    o.model_num_views = 3
+    o.model_num_views = 2
     o.batch_size = 8
     return o
 
@@ -47,7 +48,6 @@ def test_color_jitter_preserves_shape_and_changes_pixels():
     assert np.isfinite(np.asarray(out)).all()
 
 
-@pytest.mark.slow
 def test_sharded_train_step_8_devices():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     opts = small_opts()
