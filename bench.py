@@ -33,7 +33,7 @@ def main():
     from doubletake_tpu.tools.tsdf import TSDF, FusionConfig, integrate_depth, raycast
 
     H, W = 384, 512
-    model = DepthModelCVHint()
+    model = DepthModelCVHint(fast_cost_volume=True)
 
     from __graft_entry__ import _example_batch
 

@@ -125,8 +125,9 @@ class CostVolumeDot(nn.Module):
         max_depth,
         hint=None,
         return_mask: bool = False,
+        train: bool = False,
     ):
-        del hint
+        del hint, train
         b, h, w, c = cur_feats_bhwc.shape
         planes_d = generate_depth_planes(min_depth, max_depth, self.num_depth_bins)
         P_bk34, rays_b3n = _projection_setup(
@@ -189,6 +190,7 @@ class FeatureVolume(nn.Module):
         max_depth,
         hint=None,
         return_mask: bool = False,
+        train: bool = False,
     ):
         """Build the feature volume.
 
@@ -229,6 +231,23 @@ class FeatureVolume(nn.Module):
             )[..., 0].astype(bool)
             hint_weights = interpolate_nearest(hint["sampled_weights_bhw1"], (h, w))[..., 0]
             hint_weights = jnp.where(hint_valid, hint_weights, 0.0).astype(dtype)
+
+        if (
+            self.use_pallas
+            and not train  # the kernel has no VJP; training uses XLA
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+            and w == 128
+            and c == 16
+            and h % 8 == 0
+        ):
+            return self._fused_volume(
+                cur_feats_bhwc, src_feats_bkhwc, src_cam_T_cur_cam_bk44,
+                cur_cam_T_src_cam_bk44, src_K_bk44, cur_invK_b44,
+                min_depth, max_depth, planes_d,
+                hint_depth, hint_valid, hint_weights,
+                P_bk34, rays_b3n, return_mask,
+            )
 
         chunks = []
         overall_mask_bhw = None
@@ -304,6 +323,84 @@ class FeatureVolume(nn.Module):
         volume_bdhw = jnp.concatenate(chunks, axis=1)
         volume_bhwd = volume_bdhw.transpose(0, 2, 3, 1)
         lowest_cost_bhw = planes_d[jnp.argmax(volume_bhwd, axis=-1)]
+        return volume_bhwd, lowest_cost_bhw, planes_d, overall_mask_bhw
+
+    def _fused_volume(
+        self, cur_feats_bhwc, src_feats_bkhwc, src_cam_T_cur_cam_bk44,
+        cur_cam_T_src_cam_bk44, src_K_bk44, cur_invK_b44,
+        min_depth, max_depth, planes_d,
+        hint_depth, hint_valid, hint_weights,
+        P_bk34, rays_b3n, return_mask,
+    ):
+        """Inference fast path: route through the fused Pallas kernel.
+
+        Numerics: bf16 matmul operands inside the kernel bound parity with
+        the XLA path at ~1e-3 mean / 5e-3 p99 on O(1) scores (validated by
+        tests/test_fused_volume.py and on-TPU parity checks). Inference
+        only — the kernel has no VJP; training always takes the XLA path.
+        """
+        from doubletake_tpu.ops.pallas.fused_volume import (
+            fused_feature_volume, pad_mlp_weights,
+        )
+
+        b, h, w, _ = cur_feats_bhwc.shape
+        k = src_feats_bkhwc.shape[1]
+        mlp_params = self.mlp.variables["params"]
+        hint_params = (
+            self.hint_mlp.variables["params"] if self.use_hint_mlp else None
+        )
+        weights = pad_mlp_weights(mlp_params, hint_params)
+
+        vols = []
+        for bi in range(b):
+            hint_hw3 = None
+            if self.use_hint_mlp:
+                hint_hw3 = jnp.stack(
+                    [
+                        hint_depth[bi].astype(jnp.float32),
+                        hint_valid[bi].astype(jnp.float32),
+                        hint_weights[bi].astype(jnp.float32),
+                    ],
+                    axis=-1,
+                )
+            vol_dhw, _ = fused_feature_volume(
+                cur_feats_bhwc[bi],
+                src_feats_bkhwc[bi],
+                src_cam_T_cur_cam_bk44[bi],
+                cur_cam_T_src_cam_bk44[bi],
+                src_K_bk44[bi],
+                cur_invK_b44[bi],
+                min_depth,
+                max_depth,
+                weights,
+                hint_hw3=hint_hw3,
+                num_depth_bins=self.num_depth_bins,
+                use_hint=self.use_hint_mlp,
+            )
+            vols.append(vol_dhw)
+
+        volume_bhwd = jnp.stack(vols).transpose(0, 2, 3, 1)
+        volume_bhwd = volume_bhwd.astype(cur_feats_bhwc.dtype)
+        lowest_cost_bhw = planes_d[jnp.argmax(volume_bhwd, axis=-1)]
+
+        overall_mask_bhw = None
+        if return_mask:
+            # validity at the LAST plane (feature_volume.py:709-713): any
+            # view with positive projected depth inside the 2px border
+            pts_b3n = planes_d[-1] * rays_b3n
+            cam = (
+                jnp.einsum(
+                    "bkij,bjn->bkin", P_bk34[..., :3], pts_b3n, precision=_PREC
+                )
+                + P_bk34[..., 3][:, :, :, None]
+            )
+            z = cam[:, :, 2]
+            guard = jnp.abs(z) > 1e-8
+            px = cam[:, :, :2] / jnp.where(guard, z, 1.0)[:, :, None]
+            ok = _border_mask(px.reshape(b, k, 2, h, w), h, w)
+            depth_ok = z.reshape(b, k, h, w) > 0
+            overall_mask_bhw = jnp.any(ok & depth_ok, axis=1)
+
         return volume_bhwd, lowest_cost_bhw, planes_d, overall_mask_bhw
 
 

@@ -135,6 +135,7 @@ class DepthModel(nn.Module):
             self.max_matching_depth,
             hint=hint,
             return_mask=return_mask,
+            train=train,
         )
 
         if flip:

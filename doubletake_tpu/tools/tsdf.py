@@ -293,14 +293,20 @@ def raycast(
 ):
     """Render hint depth + confidence by ray-marching the TSDF.
 
-    For each pixel, march ``num_samples`` z-depths along the camera ray —
-    clipped per pixel to the ray's intersection with the volume's interior
-    box, so samples are never wasted outside the volume — and find the first
-    observed + -> - zero crossing of the TSDF; refine the crossing by linear
-    interpolation (the same rule marching cubes uses on edges, so depths
-    agree with the reference's MC+rasterize hints up to sampling). Sampling
-    is one packed-row gather per sample (see _build_ray_table) instead of
-    gather-per-corner trilinear — the former ~20x speedup on this platform.
+    Coarse-to-fine march: each pixel's ray is clipped to its intersection
+    with the volume's interior box, marched at ``num_samples // 4`` coarse
+    z-depths to bracket the first observed + -> - zero crossing of the
+    TSDF, then the bracketing interval is re-marched with 8 fine samples
+    and the crossing refined by linear interpolation (the same rule
+    marching cubes uses on edges, so depths agree with the reference's
+    MC+rasterize hints up to sampling). The coarse pass cannot step over a
+    surface as long as the coarse step stays below the negative truncation
+    band (3 voxels, 4.5 with extended truncation) — with volume-clipped
+    segments and the default budget the step is ~2-3 voxels. Effective
+    depth resolution is coarse*fine = 2x the single-pass budget at ~3.5x
+    fewer samples. Sampling is one packed-row gather per sample (see
+    _build_ray_table) instead of gather-per-corner trilinear — gathers
+    serialize per row on this platform, so sample count is the cost.
 
     Replaces the reference's mesh+rasterize hint render
     (src/doubletake/utils/rendering_utils.py:21-53, test_incremental.py:187-258).
@@ -343,9 +349,11 @@ def raycast(
     hit_box = t_exit > t_enter
     t_exit = jnp.maximum(t_exit, t_enter)
 
-    u = jnp.linspace(0.0, 1.0, S)                                # (S,)
-    zs = t_enter[None] + u[:, None] * (t_exit - t_enter)[None]   # (S, N)
-    dz = (t_exit - t_enter) / (S - 1)                            # (N,)
+    Sc = max(2, S // 4)                                          # coarse budget
+    Sf = 8                                                       # fine refine
+    u = jnp.linspace(0.0, 1.0, Sc)                               # (Sc,)
+    zs = t_enter[None] + u[:, None] * (t_exit - t_enter)[None]   # (Sc, N)
+    dz = (t_exit - t_enter) / (Sc - 1)                           # (N,)
 
     table, zb = _build_ray_table(tsdf)
 
@@ -368,9 +376,10 @@ def raycast(
             rows, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4
         )
 
+    # ---- coarse pass: bracket the first crossing ----
     vals_flat, wts_flat = sample(zs.reshape(-1))
-    vals = vals_flat.reshape(S, n)
-    wts = wts_flat.reshape(S, n)
+    vals = vals_flat.reshape(Sc, n)
+    wts = wts_flat.reshape(Sc, n)
 
     observed = wts > weight_epsilon
     prev_vals, cur_vals = vals[:-1], vals[1:]
@@ -383,7 +392,27 @@ def raycast(
     v0 = jnp.take_along_axis(prev_vals, first[None], axis=0)[0]
     v1 = jnp.take_along_axis(cur_vals, first[None], axis=0)[0]
     frac = v0 / jnp.maximum(v0 - v1, 1e-12)
-    depth = jnp.take_along_axis(zs, first[None], axis=0)[0] + frac * dz
+    z_lo = jnp.take_along_axis(zs, first[None], axis=0)[0]      # (N,)
+    depth_coarse = z_lo + frac * dz
+
+    # ---- fine pass: re-march the bracketing interval ----
+    uf = jnp.linspace(0.0, 1.0, Sf)
+    zf = z_lo[None] + uf[:, None] * dz[None]                    # (Sf, N)
+    fvals_flat, fwts_flat = sample(zf.reshape(-1))
+    fvals = fvals_flat.reshape(Sf, n)
+    fobs = fwts_flat.reshape(Sf, n) > weight_epsilon
+    fcross = (fvals[:-1] > 0) & (fvals[1:] <= 0) & fobs[:-1] & fobs[1:]
+    ffirst = jnp.argmax(fcross, axis=0)
+    fvalid = jnp.any(fcross, axis=0)
+    fv0 = jnp.take_along_axis(fvals[:-1], ffirst[None], axis=0)[0]
+    fv1 = jnp.take_along_axis(fvals[1:], ffirst[None], axis=0)[0]
+    ffrac = fv0 / jnp.maximum(fv0 - fv1, 1e-12)
+    depth_fine = (
+        jnp.take_along_axis(zf, ffirst[None], axis=0)[0] + ffrac * dz / (Sf - 1)
+    )
+    # coarse endpoints bracketed a sign change, so the fine pass almost
+    # always re-finds it; fall back to the coarse interpolation otherwise
+    depth = jnp.where(fvalid, depth_fine, depth_coarse)
 
     _, surf_w = sample(depth)
 
