@@ -34,6 +34,18 @@ from doubletake_tpu.models.cost_volume import get_volume_class
 from doubletake_tpu.models.decoders import CVEncoder, DepthDecoderPP, SkipDecoderRegression
 
 
+def _maybe_flip(x, flip, axis: int):
+    """Horizontal flip under a static bool OR a traced scalar bool.
+
+    Traced flips (training: per-batch coin, sr_depth_model.py:351-359) cost
+    one reverse + select — cheap next to the conv stack — and keep the train
+    step a single compiled program instead of a lax.cond double-compile.
+    """
+    if isinstance(flip, bool):
+        return jnp.flip(x, axis) if flip else x
+    return jnp.where(flip, jnp.flip(x, axis), x)
+
+
 class DepthModel(nn.Module):
     """SimpleRecon-style MVS depth model.
 
@@ -104,9 +116,8 @@ class DepthModel(nn.Module):
             src_data["world_T_cam_bk44"],
         )
 
-        if flip:
-            cur_image = jnp.flip(cur_image, axis=2)
-            src_image = jnp.flip(src_image, axis=3)
+        cur_image = _maybe_flip(cur_image, flip, 2)
+        src_image = _maybe_flip(src_image, flip, 3)
 
         cur_feats = self.encoder(cur_image, train=train)
 
@@ -120,9 +131,8 @@ class DepthModel(nn.Module):
         matching_cur_feats = all_feats[:, 0]
         matching_src_feats = all_feats[:, 1:]
 
-        if flip:
-            matching_cur_feats = jnp.flip(matching_cur_feats, axis=2)
-            matching_src_feats = jnp.flip(matching_src_feats, axis=3)
+        matching_cur_feats = _maybe_flip(matching_cur_feats, flip, 2)
+        matching_src_feats = _maybe_flip(matching_src_feats, flip, 3)
 
         cost_volume_bhwd, lowest_cost_bhw, _, overall_mask_bhw = self.cost_volume(
             matching_cur_feats,
@@ -138,8 +148,7 @@ class DepthModel(nn.Module):
             train=train,
         )
 
-        if flip:
-            cost_volume_bhwd = jnp.flip(cost_volume_bhwd, axis=2)
+        cost_volume_bhwd = _maybe_flip(cost_volume_bhwd, flip, 2)
 
         cv_feats = self.cost_volume_net(
             cost_volume_bhwd, cur_feats[self.matching_scale:]
@@ -148,9 +157,7 @@ class DepthModel(nn.Module):
 
         outputs = dict(self.depth_decoder(decoder_inputs))
         for key in list(outputs.keys()):
-            log_depth = outputs[key].astype(jnp.float32)
-            if flip:
-                log_depth = jnp.flip(log_depth, axis=2)
+            log_depth = _maybe_flip(outputs[key].astype(jnp.float32), flip, 2)
             outputs[key] = log_depth
             outputs[key.replace("log_", "")] = jnp.exp(log_depth)
 

@@ -31,6 +31,7 @@ class Options:
     log_dir: str = os.path.join(os.path.expanduser("~"), "tmp/tensorboard")
     notes: str = ""
     log_interval: int = 100
+    image_log_interval: int = 1000
     val_interval: int = 1000
     val_batches: int = 100
 

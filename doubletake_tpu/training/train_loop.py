@@ -96,6 +96,12 @@ def make_train_step(model, tx, mesh: Optional[Mesh] = None,
         ]
         src["image_bkhw3"] = jnp.stack(src_imgs, axis=1)
 
+        # 50% horizontal flip around the cost volume (sr_depth_model.py:351-359)
+        # — traced per-batch coin; the model flips images, un-flips matching
+        # feats for correct MVS, re-flips the CV, and un-flips the outputs,
+        # so GT stays unflipped here.
+        do_flip = jax.random.bernoulli(flip_rng, 0.5)
+
         hint = None
         if use_hint_model:
             hint = {
@@ -108,7 +114,7 @@ def make_train_step(model, tx, mesh: Optional[Mesh] = None,
 
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            cur, src, train=True, hint=hint,
+            cur, src, train=True, flip=do_flip, hint=hint,
             mutable=["batch_stats"],
         )
 
@@ -236,13 +242,27 @@ def train(opts: Options):
     writer = _make_writer(log_dir)
 
     train_ds = dataset_from_opts(opts, split="train", disable_flip=True)
-    val_ds = dataset_from_opts(opts, split="val", disable_flip=True)
     train_loader = DataLoader(
         train_ds, opts.batch_size, shuffle=True, num_workers=opts.num_workers,
         drop_last=True, infinite=True, seed=opts.random_seed,
     )
-    val_loader = DataLoader(val_ds, opts.val_batch_size, shuffle=False,
-                            num_workers=opts.num_workers, drop_last=True)
+
+    # Validation protocol (reference train.py:79-206): with depth hints, FOUR
+    # val loaders at hint-aug 0.5 / 1.0 (all-empty) / 0.0 / 0.0; the first
+    # (mixed hints) drives checkpoint selection via val_0_metrics/a5.
+    if opts.fill_depth_hints:
+        val_augs = [0.5, 1.0, 0.0, 0.0]
+    else:
+        val_augs = [opts.depth_hint_aug]
+    val_loaders = []
+    for aug in val_augs:
+        ds = dataset_from_opts(opts, split="val", disable_flip=True,
+                               depth_hint_aug=aug)
+        val_loaders.append(
+            DataLoader(ds, opts.val_batch_size, shuffle=False,
+                       num_workers=max(opts.num_workers // 2, 1),
+                       drop_last=True)
+        )
 
     model = common.build_model(opts)
     use_hint = "hint" in opts.feature_volume_type
@@ -272,6 +292,7 @@ def train(opts: Options):
     t0 = time.time()
     step = start_step
     batch = first
+    best_a5 = -1.0
     while step < opts.max_steps:
         cur, src = _train_batch(*batch)
         rng, step_rng = jax.random.split(rng)
@@ -289,26 +310,41 @@ def train(opts: Options):
             print(f"step {step}: loss {scalars['train/loss']:.4f} "
                   f"({rate:.1f} samples/s)")
 
+        if step % opts.image_log_interval == 0:
+            _log_image_panels(writer, model, state, batch, use_hint, step)
+
         if step % opts.val_interval == 0:
-            vmetrics: Dict[str, list] = {}
-            for vi, vb in enumerate(val_loader):
-                if vi >= opts.val_batches:
-                    break
-                vc, vs = _train_batch(*vb)
-                m = eval_step(state.params, state.batch_stats, vc, vs)
-                for k, v in m.items():
-                    vmetrics.setdefault(k, []).append(float(v))
-            scalars = {
-                f"val_0_metrics/{k}": float(np.mean(v)) for k, v in vmetrics.items()
-            }
+            scalars = {}
+            for li, val_loader in enumerate(val_loaders):
+                vmetrics: Dict[str, list] = {}
+                for vi, vb in enumerate(val_loader):
+                    if vi >= opts.val_batches:
+                        break
+                    vc, vs = _train_batch(*vb)
+                    m = eval_step(state.params, state.batch_stats, vc, vs)
+                    for k, v in m.items():
+                        vmetrics.setdefault(k, []).append(float(v))
+                scalars.update({
+                    f"val_{li}_metrics/{k}": float(np.mean(v))
+                    for k, v in vmetrics.items()
+                })
             _write_scalars(writer, scalars, step)
             print(f"step {step} val: " + ", ".join(
-                f"{k.split('/')[-1]}={v:.4f}" for k, v in scalars.items()
+                f"{k.rsplit('/', 1)[0].split('_')[1]}:{k.split('/')[-1]}={v:.4f}"
+                for k, v in scalars.items()
                 if k.endswith(("a5", "abs_diff"))
             ))
             from doubletake_tpu.checkpoints.io import save_train_state
 
             save_train_state(ckpt_dir, step, jax.tree_util.tree_map(np.asarray, state))
+            # best-checkpoint selection on val_0_metrics/a5 (train.py:223-230)
+            a5 = scalars.get("val_0_metrics/a5")
+            if a5 is not None and a5 > best_a5:
+                best_a5 = a5
+                save_train_state(
+                    os.path.join(log_dir, "best"), step,
+                    jax.tree_util.tree_map(np.asarray, state),
+                )
 
         batch = next(it)
 
@@ -320,6 +356,46 @@ def train(opts: Options):
         {"params": state.params, "batch_stats": state.batch_stats},
     )
     return state
+
+
+def _log_image_panels(writer, model, state, batch, use_hint, step):
+    """TB image panels: depth pred/gt, normals, lowest-cost argmax, hints
+    (reference doubletake_model.py:566-630)."""
+    if writer is None:
+        return
+    from doubletake_tpu.utils.visualization import colormap_image
+
+    cur, src = _train_batch(*batch)
+    hint = None
+    if use_hint and "depth_hint_bhw1" in cur:
+        hint = {k: cur[k] for k in _HINT_KEYS}
+    outputs = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        cur, src, train=False, hint=hint,
+    )
+    panels = {
+        "image": np.asarray(cur["image_bhw3"][:1]),
+        "depth_pred": colormap_image(
+            np.asarray(outputs["depth_pred_s0_bhw1"][0, ..., 0])
+        )[None],
+        "depth_gt": colormap_image(np.asarray(cur["depth_bhw1"][0, ..., 0]))[None],
+        "lowest_cost": colormap_image(
+            np.asarray(outputs["lowest_cost_bhw"][0])
+        )[None],
+    }
+    if hint is not None:
+        panels["depth_hint"] = colormap_image(
+            np.nan_to_num(np.asarray(hint["depth_hint_bhw1"][0, ..., 0]))
+        )[None]
+        panels["hint_weights"] = colormap_image(
+            np.asarray(hint["sampled_weights_bhw1"][0, ..., 0])
+        )[None]
+
+    import tensorflow as tf
+
+    with writer.as_default():
+        for name, img in panels.items():
+            tf.summary.image(f"train_images/{name}", img, step=step)
 
 
 def _make_writer(log_dir):
