@@ -36,6 +36,11 @@ def build_model(opts: Options):
     """Construct the model from options (model registry parity)."""
     model_type = opts.model_type or opts.extra.get("model_type", "depth_model")
     cls = get_model_class(model_type)
+    # only values the reference supports (sr_depth_model.py:174-177, :/cv enc)
+    if opts.loss_type != "log_l1":
+        raise ValueError(f"loss_type: {opts.loss_type} unknown")
+    if opts.cv_encoder_type != "multi_scale_encoder":
+        raise ValueError(f"cv_encoder_type: {opts.cv_encoder_type} unknown")
     return cls(
         image_encoder_name=opts.image_encoder_name,
         depth_decoder_name=opts.depth_decoder_name,
@@ -53,7 +58,11 @@ def build_model(opts: Options):
 
 
 def init_or_load_params(opts: Options, model, sample_batch):
-    """Initialize params, or load from a converted/orbax checkpoint."""
+    """Initialize params, or load from a converted/orbax checkpoint.
+
+    With opts.lazy_load_weights_from_checkpoint, tolerate missing/mismatched
+    entries by merging what fits over fresh init (reference
+    model_utils.py:47-63)."""
     cur_np, src_np = sample_batch
     cur = {k: jnp.asarray(cur_np[k]) for k in CUR_KEYS if k in cur_np}
     src = {k: jnp.asarray(src_np[k]) for k in SRC_KEYS if k in src_np}
@@ -63,7 +72,49 @@ def init_or_load_params(opts: Options, model, sample_batch):
 
         return load_params(path)
     variables = jax.jit(model.init)(jax.random.PRNGKey(opts.random_seed), cur, src)
+    lazy_path = opts.lazy_load_weights_from_checkpoint
+    if lazy_path and os.path.exists(lazy_path):
+        from doubletake_tpu.checkpoints.io import lazy_load_params, load_params
+
+        variables = lazy_load_params(variables, load_params(lazy_path))
     return variables
+
+
+def rgb_for_fusion(opts: Options, cur, out_hw):
+    """De-normalized RGB at fusion resolution for color fusion
+    (fuse_color; reference Open3DFuser resizes color to the depth map)."""
+    if not opts.fuse_color:
+        return None
+    from doubletake_tpu.ops.resize import interpolate_bilinear
+    from doubletake_tpu.utils.io import IMAGENET_MEAN, IMAGENET_STD
+
+    img = cur["image_bhw3"]
+    img = img * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
+    return jnp.clip(interpolate_bilinear(img, out_hw), 0.0, 1.0)
+
+
+def depth_for_fusion(opts: Options, out):
+    """Depth fed to the fuser, honoring mask_pred_depth (invalidate pixels
+    with no valid MVS info) and fusion_use_raw_lowest_cost (fuse the cost
+    volume argmax) — reference test_no_hint.py:214-240."""
+    depth = out["depth_pred_s0_bhw1"]
+    if opts.fusion_use_raw_lowest_cost:
+        lowest = out["lowest_cost_bhw"][..., None]
+        depth = interpolate_nearest(lowest, depth.shape[1:3])
+    if opts.mask_pred_depth:
+        mask = out["overall_mask_bhw"][..., None].astype(jnp.float32)
+        m = interpolate_nearest(mask, depth.shape[1:3]) > 0.5
+        depth = jnp.where(m, depth, -1.0)  # invalid coded -1 like the reference
+    return depth
+
+
+def finalize_tsdf(opts: Options, tsdf):
+    """Pre-export TSDF trim: zero low-confidence voxels
+    (reference fusers_helper.py:468-469, trim_tsdf_using_confience)."""
+    if not opts.trim_tsdf_using_confience:
+        return tsdf
+    vals = jnp.where(tsdf.weights < 0.02, 0.0, tsdf.values.astype(jnp.float32))
+    return tsdf.replace(values=vals.astype(tsdf.values.dtype))
 
 
 def device_batch(cur_np: Dict, src_np: Dict):
@@ -127,7 +178,8 @@ def make_fuser(opts: Options, dataset, scan_id) -> Tuple[TSDF, FusionConfig]:
     """Score-fuser parity: resolution/ max depth from opts (0.02 m / 3.5 m
     for published scores), extended negative truncation optional."""
     bounds = scene_bounds_for_fusion(dataset, scan_id)
-    tsdf = TSDF.from_bounds(bounds, opts.fusion_resolution)
+    tsdf = TSDF.from_bounds(bounds, opts.fusion_resolution,
+                            with_color=opts.fuse_color)
     cfg = FusionConfig(
         min_depth=EVAL_MIN_DEPTH,
         max_depth=opts.fusion_max_depth,

@@ -36,7 +36,8 @@ from doubletake_tpu.utils.metrics import ResultsAverager
 HINT_WEIGHT_THRESHOLD = 0.025  # test_incremental.py:244
 
 
-def make_step(model, cfg, hint_h, hint_w, raycast_samples, fusion_max_depth):
+def make_step(model, cfg, hint_h, hint_w, raycast_samples, fusion_max_depth,
+              opts=None):
     """Fused per-frame step: raycast hint -> forward -> fuse."""
 
     @partial(jax.jit, donate_argnums=(1,))
@@ -64,8 +65,11 @@ def make_step(model, cfg, hint_h, hint_w, raycast_samples, fusion_max_depth):
         depth = out["depth_pred_s0_bhw1"]
 
         # 3) fuse prediction into the volume
+        fusion_depth = (
+            common.depth_for_fusion(opts, out) if opts is not None else depth
+        )
         new_tsdf = integrate_depth(
-            tsdf, depth[0], cur["cam_T_world_b44"][0], cur["K_s0_b44"][0], cfg
+            tsdf, fusion_depth[0], cur["cam_T_world_b44"][0], cur["K_s0_b44"][0], cfg
         )
         return out, hint, new_tsdf
 
@@ -103,7 +107,8 @@ def run(opts: Options, variables=None):
 
         tsdf, cfg = common.make_fuser(opts, ds, scan_id)
         step = make_step(
-            model, cfg, hint_h, hint_w, opts.raycast_samples, opts.fusion_max_depth
+            model, cfg, hint_h, hint_w, opts.raycast_samples,
+            opts.fusion_max_depth, opts=opts,
         )
 
         scan_metrics = ResultsAverager(opts.name, f"scan {scan_id}")
@@ -146,6 +151,7 @@ def run(opts: Options, variables=None):
         )
         scene_avg.update_results(scan_metrics.final_metrics)
 
+        tsdf = common.finalize_tsdf(opts, tsdf)
         tsdf.save(os.path.join(meshes_dir, f"{scan_id.replace('/', '_')}_tsdf.npz"))
         try:
             from doubletake_tpu.tools.marching_cubes import export_mesh

@@ -63,8 +63,9 @@ def run(opts: Options, variables=None):
         if opts.run_fusion:
             tsdf, cfg = common.make_fuser(opts, ds, scan_id)
             fuse = jax.jit(
-                lambda vol, d, c, k: integrate_depth(vol, d, c, k, cfg),
-                donate_argnums=0,
+                lambda vol, d, c, k, img=None: integrate_depth(
+                    vol, d, c, k, cfg, image_hw3=img),
+                donate_argnums=0, static_argnames=(),
             )
 
         if variables is None:
@@ -102,10 +103,13 @@ def run(opts: Options, variables=None):
                 all_frame_avg.update_results(fm)
 
             if opts.run_fusion:
-                for i in range(depth.shape[0]):
+                fusion_depth = common.depth_for_fusion(opts, out)
+                rgb = common.rgb_for_fusion(opts, cur, fusion_depth.shape[1:3])
+                for i in range(fusion_depth.shape[0]):
                     tsdf = fuse(
-                        tsdf, depth[i],
+                        tsdf, fusion_depth[i],
                         cur["cam_T_world_b44"][i], cur["K_s0_b44"][i],
+                        None if rgb is None else rgb[i],
                     )
 
             if opts.cache_depths:
@@ -128,6 +132,7 @@ def run(opts: Options, variables=None):
             )
 
         if opts.run_fusion:
+            tsdf = common.finalize_tsdf(opts, tsdf)
             tsdf.save(os.path.join(meshes_dir, f"{scan_id.replace('/', '_')}_tsdf.npz"))
             try:
                 from doubletake_tpu.tools.marching_cubes import export_mesh

@@ -146,8 +146,10 @@ def run(opts: Options, variables=None):
             all_frame_avg.update_results(fm)
 
             if opts.run_fusion:
+                fusion_depth = common.depth_for_fusion(opts, out)
                 final_tsdf = fuse(
-                    final_tsdf, depth[0], cur["cam_T_world_b44"][0], cur["K_s0_b44"][0]
+                    final_tsdf, fusion_depth[0],
+                    cur["cam_T_world_b44"][0], cur["K_s0_b44"][0]
                 )
 
         scan_metrics.compute_final_average()
@@ -157,6 +159,7 @@ def run(opts: Options, variables=None):
         scene_avg.update_results(scan_metrics.final_metrics)
 
         if opts.run_fusion:
+            final_tsdf = common.finalize_tsdf(opts, final_tsdf)
             final_tsdf.save(os.path.join(meshes_dir, f"{scan_id.replace('/', '_')}_tsdf.npz"))
             try:
                 from doubletake_tpu.tools.marching_cubes import export_mesh

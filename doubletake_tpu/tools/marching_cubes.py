@@ -200,7 +200,31 @@ def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def export_mesh(tsdf, path: str):
-    """TSDF -> single-walled PLY mesh on disk."""
+    """TSDF -> single-walled PLY mesh on disk.
+
+    When the volume carries fused colors (fuse_color), vertices get
+    trilinearly sampled RGB — the reference's colored-mesh export
+    (fusers_helper.py:195-211)."""
     verts, faces = tsdf_to_mesh(tsdf)
-    save_ply(path, verts, faces)
+    colors = None
+    if getattr(tsdf, "colors", None) is not None:
+        vox = (verts - np.asarray(tsdf.origin)[None]) / tsdf.voxel_size
+        vol = np.asarray(tsdf.colors, np.float32)
+        dims = np.asarray(vol.shape[:3])
+        vox = np.clip(vox, 0.0, dims[None] - 1.0 - 1e-4)
+        v0 = np.floor(vox).astype(np.int64)
+        f = vox - v0
+        rgb = np.zeros((len(verts), 3), np.float32)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = (
+                        (f[:, 0] if dx else 1 - f[:, 0])
+                        * (f[:, 1] if dy else 1 - f[:, 1])
+                        * (f[:, 2] if dz else 1 - f[:, 2])
+                    )
+                    idx = np.minimum(v0 + [dx, dy, dz], dims - 1)
+                    rgb += w[:, None] * vol[idx[:, 0], idx[:, 1], idx[:, 2]]
+        colors = np.clip(rgb * 255.0, 0, 255)
+    save_ply(path, verts, faces, colors=colors)
     return verts, faces

@@ -42,19 +42,25 @@ VOX_MOD = 8  # volume dims rounded up to multiples of 8 (tsdf.py:59)
 
 @struct.dataclass
 class TSDF:
-    """Dense TSDF volume. values/weights: (X, Y, Z); origin: world min corner."""
+    """Dense TSDF volume. values/weights: (X, Y, Z); origin: world min corner.
+
+    colors (optional, (X, Y, Z, 3) in [0, 1]) enables color fusion — the
+    capability of the reference's Open3DFuser/CustomOpen3dFuser color path
+    (fusers_helper.py:110-211) without the Open3D dependency."""
 
     values: jnp.ndarray
     weights: jnp.ndarray
     origin: jnp.ndarray  # (3,) float32
     voxel_size: float = struct.field(pytree_node=False)
+    colors: jnp.ndarray | None = None
 
     @property
     def dims(self):
         return self.values.shape
 
     @classmethod
-    def from_bounds(cls, bounds: dict, voxel_size: float, dtype=jnp.float32):
+    def from_bounds(cls, bounds: dict, voxel_size: float, dtype=jnp.float32,
+                    with_color: bool = False):
         """Create a volume covering bounds (tsdf.py:122-154)."""
         dims = []
         for axis in ("x", "y", "z"):
@@ -65,7 +71,11 @@ class TSDF:
         )
         values = -jnp.ones(tuple(dims), dtype)
         weights = jnp.zeros(tuple(dims), dtype)
-        return cls(values=values, weights=weights, origin=origin, voxel_size=voxel_size)
+        colors = (
+            jnp.zeros(tuple(dims) + (3,), jnp.float16) if with_color else None
+        )
+        return cls(values=values, weights=weights, origin=origin,
+                   voxel_size=voxel_size, colors=colors)
 
     @classmethod
     def from_mesh_bounds(cls, verts_min, verts_max, voxel_size: float, dtype=jnp.float32):
@@ -77,13 +87,15 @@ class TSDF:
         return cls.from_bounds(b, voxel_size, dtype)
 
     def save(self, path: str):
-        np.savez_compressed(
-            path,
+        arrays = dict(
             tsdf_values=np.asarray(self.values, np.float16),
             tsdf_weights=np.asarray(self.weights, np.float16),
             origin=np.asarray(self.origin, np.float32),
             voxel_size=self.voxel_size,
         )
+        if self.colors is not None:
+            arrays["tsdf_colors"] = np.asarray(self.colors, np.float16)
+        np.savez_compressed(path, **arrays)
 
     @classmethod
     def load(cls, path: str, dtype=jnp.float32):
@@ -93,6 +105,10 @@ class TSDF:
             weights=jnp.asarray(data["tsdf_weights"], dtype),
             origin=jnp.asarray(data["origin"], jnp.float32),
             voxel_size=float(data["voxel_size"]),
+            colors=(
+                jnp.asarray(data["tsdf_colors"], jnp.float16)
+                if "tsdf_colors" in data else None
+            ),
         )
 
 
@@ -122,6 +138,7 @@ def integrate_depth(
     K_44,
     config: FusionConfig,
     depth_mask_hw1=None,
+    image_hw3=None,
 ):
     """Fuse one depth map into the volume. Pure, jittable; returns a new TSDF.
 
@@ -181,7 +198,23 @@ def integrate_depth(
     out_vals = jnp.where(valid, fused_vals, old_vals).reshape(dims)
     out_wts = jnp.where(valid, jnp.clip(total, max=1.0), old_wts).reshape(dims)
 
-    return tsdf.replace(values=out_vals, weights=out_wts)
+    out_colors = tsdf.colors
+    if tsdf.colors is not None and image_hw3 is not None:
+        # color fusion: same running weighted mean, same validity, bilinear
+        # image sample (Open3D ScalableTSDFVolume color behavior,
+        # fusers_helper.py:110-211)
+        rgb = grid_sample_2d(
+            image_hw3[None].astype(jnp.float32), grid, mode="bilinear"
+        )[0, :, 0]  # (N, 3)
+        old_c = tsdf.colors.reshape(-1, 3).astype(jnp.float32)
+        fused_c = (
+            old_c * old_wts[:, None] + rgb * new_wts[:, None]
+        ) / total[:, None]
+        out_colors = jnp.where(
+            valid[:, None], fused_c, old_c
+        ).reshape(dims + (3,)).astype(tsdf.colors.dtype)
+
+    return tsdf.replace(values=out_vals, weights=out_wts, colors=out_colors)
 
 
 def integrate_batch(tsdf: TSDF, depth_bhw1, cam_T_world_b44, K_b44, config: FusionConfig,

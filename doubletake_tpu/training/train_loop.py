@@ -257,7 +257,8 @@ def train(opts: Options):
     val_loaders = []
     for aug in val_augs:
         ds = dataset_from_opts(opts, split="val", disable_flip=True,
-                               depth_hint_aug=aug)
+                               depth_hint_aug=aug,
+                               include_full_res_depth=opts.high_res_validation)
         val_loaders.append(
             DataLoader(ds, opts.val_batch_size, shuffle=False,
                        num_workers=max(opts.num_workers // 2, 1),
@@ -321,7 +322,21 @@ def train(opts: Options):
                     if vi >= opts.val_batches:
                         break
                     vc, vs = _train_batch(*vb)
-                    m = eval_step(state.params, state.batch_stats, vc, vs)
+                    if opts.high_res_validation and "full_res_depth_bhw1" in vb[0]:
+                        # metrics vs full-res GT (sr_depth_model.py:622-630)
+                        outputs = model.apply(
+                            {"params": state.params,
+                             "batch_stats": state.batch_stats},
+                            vc, vs, train=False,
+                        )
+                        fm = common.compute_frame_metrics(
+                            outputs["depth_pred_s0_bhw1"],
+                            vb[0]["full_res_depth_bhw1"],
+                        )
+                        m = {k: float(np.nanmean(np.asarray(v)))
+                             for k, v in fm.items()}
+                    else:
+                        m = eval_step(state.params, state.batch_stats, vc, vs)
                     for k, v in m.items():
                         vmetrics.setdefault(k, []).append(float(v))
                 scalars.update({

@@ -170,3 +170,38 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded.values), np.asarray(out.values), atol=2e-3
     )
+
+
+def test_color_fusion_recovers_surface_color():
+    """fuse_color capability: colors fused with the same confidence weights
+    (reference Open3DFuser color path, fusers_helper.py:110-211)."""
+    bounds = dict(xmin=-1.0, xmax=1.0, ymin=-1.0, ymax=1.0, zmin=0.0, zmax=3.0)
+    vol = TSDF.from_bounds(bounds, voxel_size=0.08, with_color=True)
+    cfg = FusionConfig(min_depth=0.5, max_depth=3.5)
+    img = np.zeros((H, W, 3), np.float32)
+    img[..., 0] = 0.8  # red wall
+    img[..., 2] = 0.2
+    out = integrate_depth(
+        vol, jnp.asarray(wall_depth()), jnp.eye(4), jnp.asarray(make_K()), cfg,
+        image_hw3=jnp.asarray(img),
+    )
+    assert out.colors is not None
+    cols = np.asarray(out.colors, np.float32)
+    wts = np.asarray(out.weights)
+    observed = wts > 0.005
+    assert observed.any()
+    # a few % of observed voxels project near the image border where the
+    # bilinear sample mixes with zeros padding — judge the bulk
+    assert np.median(np.abs(cols[observed][:, 0] - 0.8)) < 0.01
+    assert np.median(np.abs(cols[observed][:, 2] - 0.2)) < 0.01
+    assert (np.abs(cols[observed][:, 0] - 0.8) < 0.02).mean() > 0.95
+    # save/load roundtrip keeps colors
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "v.npz")
+        out.save(p)
+        back = TSDF.load(p)
+        assert back.colors is not None
+        np.testing.assert_allclose(
+            np.asarray(back.colors), cols, atol=1e-2
+        )
