@@ -246,7 +246,10 @@ def world_to_sample_coords(tsdf: TSDF, world_points_n3):
 
 
 def sample_tsdf(tsdf: TSDF, world_points_n3, what: str = "tsdf", method: str = "bilinear"):
-    """Sample values or weights at world points (tsdf.py:277-339 parity)."""
+    """Sample values/weights/colors at world points (tsdf.py:277-339 parity)."""
+    if what == "colors":
+        pts = world_to_sample_coords(tsdf, world_points_n3)
+        return grid_sample_3d(tsdf.colors.astype(jnp.float32), pts, mode=method)
     vol = tsdf.values if what == "tsdf" else tsdf.weights
     pts = world_to_sample_coords(tsdf, world_points_n3)
     return grid_sample_3d(vol[..., None], pts, mode=method)[:, 0]

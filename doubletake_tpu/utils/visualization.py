@@ -108,6 +108,22 @@ def quick_viz_export(out_dir: str, frame_name: str, image_bhw3=None,
     save_image(os.path.join(out_dir, f"{frame_name}.png"), tile_images(resized))
 
 
+def save_video(out_path: str, frames, fps: int = 30):
+    """Write a list of HxWx3 uint8 frames to mp4 (png sequence fallback)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        for i, f in enumerate(frames):
+            save_image(os.path.join(d, f"{i:06d}.png"), f)
+        if write_video(d, out_path, fps) is None:
+            seq_dir = out_path + "_frames"
+            os.makedirs(seq_dir, exist_ok=True)
+            for i, f in enumerate(frames):
+                save_image(os.path.join(seq_dir, f"{i:06d}.png"), f)
+            return seq_dir
+    return out_path
+
+
 def write_video(image_dir: str, out_path: str, fps: int = 30):
     """Encode a png sequence to mp4 with ffmpeg when available; otherwise
     leave the sequence (viewable as-is)."""

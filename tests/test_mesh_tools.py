@@ -141,3 +141,49 @@ def test_visibility_volume():
     gt = np.random.RandomState(0).rand(100, 3).astype(np.float32)
     vis = np.asarray(volume.sample(jnp.asarray(np.vstack([pts_vis, pts_occ])), "nearest")) > 0.5
     assert vis.tolist() == [True, False]
+
+
+def test_viz_renderer_shaded_view():
+    """TSDF raycast renderer (viz_renderer): fused wall renders with valid
+    depth ~2 m, shaded pixels, and a camera marker drawn in-bounds."""
+    import numpy as np
+    import jax.numpy as jnp
+    from doubletake_tpu.tools.tsdf import TSDF, FusionConfig, integrate_depth
+    from doubletake_tpu.tools.viz_renderer import (
+        SmoothBirdsEyeCamera, draw_camera_marker, observed_voxel_points,
+        render_tsdf_view,
+    )
+
+    H, W = 48, 64
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 40.0
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    bounds = dict(xmin=-1.0, xmax=1.0, ymin=-1.0, ymax=1.0, zmin=0.0, zmax=3.0)
+    vol = TSDF.from_bounds(bounds, voxel_size=0.08, with_color=True)
+    depth = np.full((H, W, 1), 2.0, np.float32)
+    img = np.full((H, W, 3), 0.5, np.float32)
+    vol = integrate_depth(vol, jnp.asarray(depth), jnp.eye(4), jnp.asarray(K),
+                          FusionConfig(min_depth=0.5, max_depth=3.5),
+                          image_hw3=jnp.asarray(img))
+
+    rgb, d = render_tsdf_view(vol, np.eye(4), np.linalg.inv(K), H, W,
+                              min_depth=0.5, max_depth=3.0)
+    center_d = d[H // 3: -H // 3, W // 3: -W // 3]
+    assert np.isfinite(center_d).all()
+    np.testing.assert_allclose(center_d, 2.0, atol=0.1)
+    assert rgb.shape == (H, W, 3) and np.isfinite(rgb).all()
+    # wall faces the camera head-on: headlight shading ~1, albedo ~0.5
+    assert abs(rgb[H // 2, W // 2].mean() - 0.5) < 0.15
+
+    # birdseye pose generation is finite and orthonormal
+    be = SmoothBirdsEyeCamera()
+    pose = be.get_bird_eye_trans(observed_voxel_points(vol),
+                                 fpv_pose=np.eye(4))
+    assert np.isfinite(pose).all()
+    RtR = pose[:3, :3].T @ pose[:3, :3]
+    np.testing.assert_allclose(RtR, np.eye(3), atol=1e-5)
+
+    marker_pose = np.eye(4)
+    marker_pose[2, 3] = 1.5  # marker in front of the viewing camera
+    marked = draw_camera_marker(rgb.copy(), marker_pose, np.eye(4), K, scale=0.2)
+    assert (marked != rgb).any()
