@@ -39,8 +39,12 @@ def _gather_2d(img_nhwc, ix, iy, valid):
     """
     n, h, w, c = img_nhwc.shape
     flat = img_nhwc.reshape(n, h * w, c)
+    if c == 1:
+        # width-1 gathers lower to a ~3.5x slower scalar path on this TPU
+        # (measured: 135 ms vs 39 ms per 18M rows); widen to 2 lanes
+        flat = jnp.concatenate([flat, flat], axis=-1)
     idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-    out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    out = jnp.take_along_axis(flat, idx[..., None], axis=1)[..., :c]
     return jnp.where(valid[..., None], out, jnp.zeros((), out.dtype))
 
 
@@ -144,6 +148,9 @@ def grid_sample_3d(
     p2 = _unnormalize(points_n3[:, 2], d2, align_corners)
 
     flat = volume_dhwc.reshape(d0 * d1 * d2, c)
+    if c == 1:
+        # avoid the slow width-1 scalar-gather path (see _gather_2d note)
+        flat = jnp.concatenate([flat, flat], axis=-1)
 
     def gather(i0, i1, i2, valid):
         idx = (
@@ -151,7 +158,7 @@ def grid_sample_3d(
             + jnp.clip(i1, 0, d1 - 1) * d2
             + jnp.clip(i2, 0, d2 - 1)
         )
-        out = jnp.take(flat, idx, axis=0)
+        out = jnp.take(flat, idx, axis=0)[:, :c]
         return jnp.where(valid[:, None], out, jnp.zeros((), out.dtype))
 
     if mode == "nearest":

@@ -162,11 +162,19 @@ def integrate_depth(
     vox_depth = cam[:, 2]
     px = cam[:, :2] / vox_depth[:, None]  # reference divides by z directly
 
-    # nearest-sample the depth map (align_corners=False, zeros padding)
-    gx = 2.0 * px[:, 0] / w - 1.0
-    gy = 2.0 * px[:, 1] / h - 1.0
-    grid = jnp.stack([gx, gy], axis=-1)[None, :, None, :]  # (1, N, 1, 2)
-    sampled = grid_sample_2d(depth_hw1[None], grid, mode="nearest")[0, :, 0, 0]
+    # nearest-sample the depth map (grid_sample align_corners=False zeros
+    # semantics, inlined). The gather is a 2-lane ROW gather: on this TPU a
+    # width-1 gather takes a ~3.5x slower scalar path (135 ms vs 39 ms for
+    # the 18M-voxel volume — measured, see PERF_NOTES.md round 2).
+    ix = jnp.rint(px[:, 0] - 0.5).astype(jnp.int32)  # round half-to-even,
+    iy = jnp.rint(px[:, 1] - 0.5).astype(jnp.int32)  # = torch nearbyint
+    in_img = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & (vox_depth > 0)
+    flat = jnp.clip(iy * w + ix, 0, h * w - 1)
+    table = jnp.concatenate(
+        [depth_hw1.reshape(-1, 1)] * 2, axis=1
+    )  # (h*w, 2): duplicate lane forces the fast row-gather path
+    sampled = jnp.take(table, flat, axis=0)[:, 0]
+    sampled = jnp.where(in_img, sampled, 0.0)
 
     confidence = (
         jnp.clip(
@@ -203,6 +211,9 @@ def integrate_depth(
         # color fusion: same running weighted mean, same validity, bilinear
         # image sample (Open3D ScalableTSDFVolume color behavior,
         # fusers_helper.py:110-211)
+        gx = 2.0 * px[:, 0] / w - 1.0
+        gy = 2.0 * px[:, 1] / h - 1.0
+        grid = jnp.stack([gx, gy], axis=-1)[None, :, None, :]
         rgb = grid_sample_2d(
             image_hw3[None].astype(jnp.float32), grid, mode="bilinear"
         )[0, :, 0]  # (N, 3)
