@@ -103,6 +103,7 @@ class Options:
     # visualization
     standard_fps: int = 30
     dump_depth_visualization: bool = False
+    split_timing: bool = False  # separate hint/model dispatches for timing
     viz_render_width: int = 640
     viz_render_height: int = 480
     cam_marker_size: float = 0.7

@@ -76,6 +76,45 @@ def make_step(model, cfg, hint_h, hint_w, raycast_samples, fusion_max_depth,
     return step
 
 
+def make_split_steps(model, cfg, hint_h, hint_w, raycast_samples,
+                     fusion_max_depth, opts=None):
+    """Separate hint / forward / fuse dispatches so model_time and hint_time
+    can be measured independently (the reference's CUDA-event timing,
+    test_incremental.py:273-288). Slower than the fused step — use only for
+    profiling (--split_timing)."""
+
+    @jax.jit
+    def hint_step(tsdf, cur):
+        hint_d, hint_wt, hint_v = raycast(
+            tsdf, cur["world_T_cam_b44"][0], cur["invK_s0_b44"][0],
+            hint_h, hint_w, min_depth=common.EVAL_MIN_DEPTH,
+            max_depth=fusion_max_depth, num_samples=raycast_samples,
+        )
+        valid = hint_v & (hint_wt >= HINT_WEIGHT_THRESHOLD)
+        return {
+            "depth_hint_bhw1": jnp.where(valid, hint_d, jnp.nan)[None, ..., None],
+            "hint_mask_bhw1": valid[None, ..., None],
+            "sampled_weights_bhw1": jnp.where(valid, hint_wt, 0.0)[None, ..., None],
+        }
+
+    @jax.jit
+    def forward_step(variables, cur, src, hint):
+        return model.apply(variables, cur, src, hint=hint, return_mask=True)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fuse_step(tsdf, out, cur):
+        fusion_depth = (
+            common.depth_for_fusion(opts, out) if opts is not None
+            else out["depth_pred_s0_bhw1"]
+        )
+        return integrate_depth(
+            tsdf, fusion_depth[0], cur["cam_T_world_b44"][0],
+            cur["K_s0_b44"][0], cfg,
+        )
+
+    return hint_step, forward_step, fuse_step
+
+
 def run(opts: Options, variables=None):
     assert "hint" in opts.feature_volume_type, (
         "incremental mode needs a hint model (mlp_mesh_hint_feature_volume)"
@@ -106,10 +145,14 @@ def run(opts: Options, variables=None):
                             num_workers=min(4, opts.num_workers))
 
         tsdf, cfg = common.make_fuser(opts, ds, scan_id)
-        step = make_step(
-            model, cfg, hint_h, hint_w, opts.raycast_samples,
-            opts.fusion_max_depth, opts=opts,
-        )
+        step_args = (model, cfg, hint_h, hint_w, opts.raycast_samples,
+                     opts.fusion_max_depth)
+        if opts.split_timing:
+            hint_step, forward_step, fuse_step = make_split_steps(
+                *step_args, opts=opts
+            )
+        else:
+            step = make_step(*step_args, opts=opts)
 
         scan_metrics = ResultsAverager(opts.name, f"scan {scan_id}")
         frame_idx = 0
@@ -119,7 +162,20 @@ def run(opts: Options, variables=None):
                 variables = common.init_or_load_params(opts, model, (cur_np, src_np))
 
             t0 = time.perf_counter()
-            out, hint, tsdf = step(variables, tsdf, cur, src)
+            split_times = {}
+            if opts.split_timing:
+                # separate dispatches for the reference's model_time /
+                # hint_time split (test_incremental.py:273-288)
+                hint = hint_step(tsdf, cur)
+                jax.block_until_ready(hint)
+                t1 = time.perf_counter()
+                out = forward_step(variables, cur, src, hint)
+                out["depth_pred_s0_bhw1"].block_until_ready()
+                t2 = time.perf_counter()
+                tsdf = fuse_step(tsdf, out, cur)
+                split_times = {"hint_time": t1 - t0, "model_time": t2 - t1}
+            else:
+                out, hint, tsdf = step(variables, tsdf, cur, src)
             depth = out["depth_pred_s0_bhw1"]
             depth.block_until_ready()
             frame_time = time.perf_counter() - t0
@@ -127,6 +183,7 @@ def run(opts: Options, variables=None):
             metrics = common.compute_frame_metrics(depth, cur_np["full_res_depth_bhw1"])
             fm = {k: float(np.asarray(v)[0]) for k, v in metrics.items()}
             fm["frame_time"] = frame_time
+            fm.update(split_times)
             fm["hint_coverage"] = float(np.asarray(hint["hint_mask_bhw1"]).mean())
             scan_metrics.update_results(fm)
             all_frame_avg.update_results(fm)

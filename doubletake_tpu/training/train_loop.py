@@ -241,6 +241,13 @@ def train(opts: Options):
     os.makedirs(log_dir, exist_ok=True)
     writer = _make_writer(log_dir)
 
+    # reproducibility snapshot: code + merged options (train.py:349-356)
+    from doubletake_tpu.options import OptionsHandler
+    from doubletake_tpu.utils.io import copy_code_state
+
+    copy_code_state(os.path.join(log_dir, "code"))
+    OptionsHandler.save_options_as_yaml(os.path.join(log_dir, "options.yaml"), opts)
+
     train_ds = dataset_from_opts(opts, split="train", disable_flip=True)
     train_loader = DataLoader(
         train_ds, opts.batch_size, shuffle=True, num_workers=opts.num_workers,

@@ -8,6 +8,7 @@ normalization uses the standard mean/std (generic_utils.py:150-156).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -67,3 +68,30 @@ def crop_image_to_target_ratio(image: Image.Image, target_aspect_ratio: float = 
         top = (image.height - new_height) / 2
         return image.crop((0, top, image.width, (image.height + new_height) / 2))
     return image
+
+
+def copy_code_state(path: str):
+    """Snapshot the repo source into ``path`` for reproducibility
+    (reference generic_utils.py:17-34; rsync with .gitignore excludes,
+    with a pure-python fallback when rsync is unavailable)."""
+    import shutil
+    import subprocess
+
+    os.makedirs(path, exist_ok=True)
+    root = os.getcwd()
+    if shutil.which("rsync"):
+        exclude = ["--exclude", ".git"]
+        if os.path.exists(os.path.join(root, ".gitignore")):
+            exclude += ["--exclude-from", os.path.join(root, ".gitignore")]
+        subprocess.run(["rsync", "-art", *exclude, root + "/", path], check=False)
+        return
+    for dirpath, dirnames, filenames in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if ".git" in rel.split(os.sep) or "__pycache__" in rel.split(os.sep):
+            dirnames[:] = []
+            continue
+        for name in filenames:
+            if name.endswith((".py", ".yaml", ".yml", ".md", ".txt", ".toml")):
+                dst = os.path.join(path, rel, name)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(os.path.join(dirpath, name), dst)

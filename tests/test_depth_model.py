@@ -44,7 +44,11 @@ def make_batch(seed=0):
 @pytest.mark.parametrize(
     "model_type,encoder,decoder",
     [
-        ("depth_model", "efficientnet", "unet_pp"),
+        # the plain efficientnet model differs from the hint one only by the
+        # absent hint MLP; the hint variant covers the heavy encoder/decoder,
+        # so the plain one runs in the slow tier to keep the suite fast
+        pytest.param("depth_model", "efficientnet", "unet_pp",
+                     marks=pytest.mark.slow),
         ("cv_hint_depth_model", "efficientnet", "unet_pp"),
         ("cv_hint_depth_model", "resnet18d", "skip"),
     ],

@@ -93,17 +93,17 @@ def test_mesh_metrics_identical_and_shifted():
     verts, faces = extract_mesh(vol)
     verts = verts / 32.0  # to meters
 
-    m = evaluate_mesh(verts, faces, verts, faces)
-    assert m["chamfer"] < 0.3  # cm
+    m = evaluate_mesh(verts, faces, verts, faces, num_samples=20000)
+    assert m["chamfer"] < 0.6  # cm (20k-point sampling noise floor)
     assert m["fscore"] > 0.99
 
     shifted = verts + np.array([0.02, 0.0, 0.0], np.float32)
-    m2 = evaluate_mesh(shifted, faces, verts, faces)
+    m2 = evaluate_mesh(shifted, faces, verts, faces, num_samples=20000)
     assert 0.5 < m2["chamfer"] < 3.0  # ~1-2 cm
     assert m2["fscore"] > 0.9  # 2cm shift < 5cm threshold
 
     far = verts + np.array([0.2, 0.0, 0.0], np.float32)
-    m3 = evaluate_mesh(far, faces, verts, faces)
+    m3 = evaluate_mesh(far, faces, verts, faces, num_samples=20000)
     assert m3["fscore"] < 0.5
 
 
