@@ -45,7 +45,7 @@ def main():
     )
     cfg = FusionConfig(min_depth=0.5, max_depth=3.5, extended_neg_truncation=True)
 
-    hint_h, hint_w = H // 2, W // 2
+    hint_h, hint_w = H // 4, W // 4  # matching res (see runners/incremental.py)
 
     def one_frame(tsdf, image):
         c = dict(cur)

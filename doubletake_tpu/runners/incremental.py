@@ -129,8 +129,13 @@ def run(opts: Options, variables=None):
     if opts.single_debug_scan_id:
         scans = [s for s in scans if s == opts.single_debug_scan_id]
 
-    hint_h = opts.image_height // 2
-    hint_w = opts.image_width // 2
+    # render hints at MATCHING resolution (image/4): the cost volume
+    # consumes the hint nearest-resized to matching res anyway, so
+    # raycasting directly there is information-equivalent to the
+    # reference's half-res render + nearest resize (rendering_utils.py
+    # renders 256x192 for 512x384 input) at 4x fewer rays.
+    hint_h = opts.image_height // 4
+    hint_w = opts.image_width // 4
 
     all_frame_avg = ResultsAverager(opts.name, "frame avg")
     scene_avg = ResultsAverager(opts.name, "scene avg")

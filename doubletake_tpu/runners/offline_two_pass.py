@@ -96,7 +96,7 @@ def run(opts: Options, variables=None):
     if opts.single_debug_scan_id:
         scans = [s for s in scans if s == opts.single_debug_scan_id]
 
-    hint_h, hint_w = opts.image_height // 2, opts.image_width // 2
+    hint_h, hint_w = opts.image_height // 4, opts.image_width // 4
 
     all_frame_avg = ResultsAverager(opts.name, "frame avg")
     scene_avg = ResultsAverager(opts.name, "scene avg")
