@@ -36,16 +36,19 @@ def instance_norm(x_nhwc, eps: float = 1e-5):
     return (x_nhwc - mean) * jax.lax.rsqrt(var + eps)
 
 
-class MatmulConv(nn.Module):
-    """Convolution lowered to shifted matmuls — drop-in for nn.Conv.
+# Lower convs to K*K shifted matmuls instead of lax conv. Round-1 libtpu
+# lowered dense convs at ~0.16 TFLOP/s, making this a 100x win; the current
+# stack lowers lax conv at full MXU rate (measured 52 TFLOP/s fp32 /
+# ~290 TFLOP/s bf16 — PERF_NOTES.md round 2), so the unroll is now OFF by
+# default and kept only as an escape hatch for platform regressions.
+UNROLL_CONVS = False
 
-    On this TPU stack XLA's dense convolutions run at ~0.16 TFLOP/s while
-    matmuls hit ~20 TFLOP/s (see PERF_NOTES.md); a KxK conv decomposed into
-    K*K strided-slice + (N·OH·OW, Cin)@(Cin, Cout) matmuls recovers matmul
-    throughput. Identical parameter structure to nn.Conv (kernel HWIO +
-    bias), so checkpoints and converters are unaffected. Depthwise convs
-    (feature_group_count == in features) fall back to lax conv, which is
-    fast here.
+
+class MatmulConv(nn.Module):
+    """Drop-in nn.Conv with a shifted-matmul fallback (see UNROLL_CONVS).
+
+    Identical parameter structure to nn.Conv (kernel HWIO + bias), so
+    checkpoints and converters are unaffected by the lowering choice.
     """
 
     features: int
@@ -71,10 +74,11 @@ class MatmulConv(nn.Module):
             else None
         )
 
-        if self.feature_group_count != 1 or jax.default_backend() == "cpu":
-            # depthwise/grouped convs are fast on TPU via lax; on CPU (tests,
-            # the virtual-device multichip dryrun) eigen convs beat the K*K
-            # einsum unroll by a wide margin, so always use lax conv there.
+        if (
+            not UNROLL_CONVS
+            or self.feature_group_count != 1
+            or jax.default_backend() == "cpu"
+        ):
             pad = self.padding if isinstance(self.padding, str) else tuple(self.padding)
             out = jax.lax.conv_general_dilated(
                 x, kernel, (sh, sw), pad,

@@ -269,18 +269,19 @@ def sample_tsdf(tsdf: TSDF, world_points_n3, what: str = "tsdf", method: str = "
 def _build_ray_table(tsdf: TSDF):
     """Pack (values, weights) into a gather-friendly row table.
 
-    One row per (x0, y0, z-block-of-4): the 2x2 xy-neighborhood's values and
-    weights over 8 consecutive z levels starting at 4*zb — so ONE row gather
-    provides every operand of a trilinear sample whose floor cell is
-    (x0, y0, z0 in [4*zb, 4*zb+3]). Row layout (64 bf16 lanes):
-      [v00(8) w00(8) v01(8) w01(8) v10(8) w10(8) v11(8) w11(8)]
-    with corner cq = (x0+q//2, y0+q%2). Neighbors past the volume edge are
-    zero (both value and weight), which reproduces grid_sample's zeros
-    padding exactly.
+    One row per (x, y, z-block-of-4): that column's values and weights over
+    8 consecutive z levels starting at 4*zb. Row layout (16 bf16 lanes):
+      [v(8) w(8)]
+    A trilinear sample whose floor cell is (x0, y0, z0 in [4*zb, 4*zb+3])
+    gathers its four xy-corner rows — z interpolation lives inside each row.
 
-    Why: generic per-sample trilinear gathers serialize on this TPU
-    (~5 ns/row regardless of width — see scripts/probe_gathers.py), so the
-    win is ONE wide row gather per sample instead of 8 scalar gathers.
+    Why rows at all: per-sample scalar gathers serialize on this TPU (the
+    width-1 gather path is ~3.5x slower than row gathers and trilinear
+    would need 8 of them — see PERF_NOTES.md). Why 4 narrow rows instead of
+    one 64-lane row with the xy-neighborhood baked in: the repack itself is
+    a full-volume pass, and the 4x lane duplication made it the dominant
+    raycast cost (~40 ms/frame); the 16-lane table is 4x cheaper to build
+    while the extra gathers add only a few ms.
     """
     X, Y, Z = tsdf.dims
     zb = -(-max(Z - 1, 1) // 4)  # blocks covering z0 in [0, Z-2]
@@ -294,36 +295,33 @@ def _build_ray_table(tsdf: TSDF):
 
     v8, w8 = blocks(tsdf.values), blocks(tsdf.weights)
     vw = jnp.concatenate([v8, w8], axis=-1)  # (X, Y, zb, 16)
-    y1 = jnp.pad(vw[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
-    xy = jnp.concatenate([vw, y1], axis=-1)  # (X, Y, zb, 32): (y0, y1)
-    x1 = jnp.pad(xy[1:], ((0, 1), (0, 0), (0, 0), (0, 0)))
-    table = jnp.concatenate([xy, x1], axis=-1)  # (X, Y, zb, 64): (x0, x1)
-    return table.reshape(X * Y * zb, 64), zb
+    return vw.reshape(X * Y * zb, 16), zb
 
 
-def _trilinear_from_rows(rows_n64, fx, fy, fz, zoff):
-    """Trilinear (value, weight) from packed table rows.
+def _trilinear_from_rows(corner_rows, fx, fy, fz, zoff):
+    """Trilinear (value, weight) from four packed corner rows.
 
-    rows_n64: (N, 64) rows from _build_ray_table; fx/fy/fz fractional parts;
-    zoff = z0 - 4*zb in [0, 3].
+    corner_rows: tuple of (N, 16) rows for xy corners (00, 01, 10, 11);
+    fx/fy/fz fractional parts; zoff = z0 - 4*zb in [0, 3].
     """
-    lanes = jnp.arange(64, dtype=jnp.int32)
-    zl = lanes % 8          # z position within the block
-    grp = lanes // 8        # 0..7: (corner, value/weight) group
-    corner = grp // 2       # 0: (x0,y0) 1: (x0,y1) 2: (x1,y0) 3: (x1,y1)
-    is_weight = (grp % 2) == 1
+    lanes = jnp.arange(16, dtype=jnp.int32)
+    zl = lanes % 8
+    is_weight = lanes >= 8
 
     zo = zoff[:, None]
     wz = (
         jnp.where(zl[None] == zo, 1.0 - fz[:, None], 0.0)
         + jnp.where(zl[None] == zo + 1, fz[:, None], 0.0)
     )
-    cx = jnp.where((corner[None] // 2) == 1, fx[:, None], 1.0 - fx[:, None])
-    cy = jnp.where((corner[None] % 2) == 1, fy[:, None], 1.0 - fy[:, None])
-    w = wz * cx * cy
-    r = rows_n64.astype(jnp.float32)
-    val = jnp.sum(jnp.where(is_weight[None], 0.0, w * r), axis=-1)
-    wt = jnp.sum(jnp.where(is_weight[None], w * r, 0.0), axis=-1)
+    cws = (
+        (1.0 - fx) * (1.0 - fy), (1.0 - fx) * fy, fx * (1.0 - fy), fx * fy
+    )
+    val = 0.0
+    wt = 0.0
+    for rows, cw in zip(corner_rows, cws):
+        r = rows.astype(jnp.float32) * (wz * cw[:, None])
+        val = val + jnp.sum(jnp.where(is_weight[None], 0.0, r), axis=-1)
+        wt = wt + jnp.sum(jnp.where(is_weight[None], r, 0.0), axis=-1)
     return val, wt
 
 
@@ -417,8 +415,13 @@ def raycast(
         f = v - v0
         i = v0.astype(jnp.int32)
         zblk = i[:, 2] // 4
-        idx = (i[:, 0] * Y + i[:, 1]) * zb + zblk
-        rows = jnp.take(table, idx, axis=0)
+        # four xy-corner rows (x0/x1, y0/y1); the clip above guarantees
+        # x0+1 <= X-1 and y0+1 <= Y-1
+        base = (i[:, 0] * Y + i[:, 1]) * zb + zblk
+        rows = tuple(
+            jnp.take(table, base + (dx * Y + dy) * zb, axis=0)
+            for dx in (0, 1) for dy in (0, 1)
+        )
         return _trilinear_from_rows(
             rows, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4
         )
