@@ -125,6 +125,8 @@ class Options:
     compute_dtype: str = "float32"
     # hint raycast sample count
     raycast_samples: int = 256
+    # write a jax profiler trace for train steps [20, 25) into this dir
+    profile_dir: Optional[str] = None
 
     # any unrecognized config keys end up here
     extra: Dict[str, Any] = field(default_factory=dict)

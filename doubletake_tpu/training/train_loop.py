@@ -304,8 +304,14 @@ def train(opts: Options):
     while step < opts.max_steps:
         cur, src = _train_batch(*batch)
         rng, step_rng = jax.random.split(rng)
+        if opts.profile_dir and step - start_step == 20:
+            jax.profiler.start_trace(opts.profile_dir)
         state, loss_dict = train_step(state, cur, src, step_rng)
         step += 1
+        if opts.profile_dir and step - start_step == 25:
+            jax.block_until_ready(loss_dict["loss"])
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {opts.profile_dir}")
 
         if step % opts.log_interval == 0:
             jax.block_until_ready(loss_dict["loss"])

@@ -371,3 +371,40 @@ def test_tf_same_padding_stride2():
     np.testing.assert_allclose(
         np.asarray(out), ref.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
     )
+
+
+def test_lazy_load_tolerates_partial_and_mismatched_checkpoints(tmp_path):
+    """Failure-robustness: loading a checkpoint with missing keys, extra
+    keys, and shape mismatches must keep the initialized values for
+    everything that doesn't fit (reference model_utils.py:47-63)."""
+    import os
+    import numpy as np
+    from doubletake_tpu.checkpoints.io import (
+        lazy_load_params, load_params, save_params,
+    )
+
+    variables = {
+        "params": {
+            "a": {"kernel": np.zeros((3, 4), np.float32)},
+            "b": {"kernel": np.zeros((2, 2), np.float32)},
+            "c": {"bias": np.zeros((5,), np.float32)},
+        },
+        "batch_stats": {"a": {"mean": np.zeros((4,), np.float32)}},
+    }
+    ckpt = {
+        "params": {
+            "a": {"kernel": np.ones((3, 4), np.float32)},       # fits
+            "b": {"kernel": np.ones((9, 9), np.float32)},       # wrong shape
+            "zzz": {"kernel": np.ones((1,), np.float32)},       # unknown key
+        },
+        # batch_stats entirely absent
+    }
+    path = os.path.join(str(tmp_path), "ckpt.npz")
+    save_params(path, ckpt)
+    merged = lazy_load_params(variables, load_params(path))
+
+    assert (merged["params"]["a"]["kernel"] == 1).all()          # loaded
+    assert (merged["params"]["b"]["kernel"] == 0).all()          # kept init
+    assert (merged["params"]["c"]["bias"] == 0).all()            # kept init
+    assert (merged["batch_stats"]["a"]["mean"] == 0).all()       # kept init
+    assert "zzz" not in merged["params"]
