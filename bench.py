@@ -17,11 +17,12 @@ Methodology notes (see PERF_NOTES.md):
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
-FRAMES_PER_DISPATCH = 6
-NUM_GROUPS = 3
+FRAMES_PER_DISPATCH = 12
+NUM_GROUPS = 2
 
 
 def main():
@@ -67,7 +68,7 @@ def main():
         )
         return tsdf, depth
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def frame_group(tsdf, images):
         depth = None
         for f in range(FRAMES_PER_DISPATCH):
