@@ -210,6 +210,40 @@ def _convert_resnet18d(t: _Tree, sd):
             )
 
 
+def _convert_unet_matching_encoder(t: _Tree, sd):
+    """timm mnasnet_100 + torchvision FPN matching encoder
+    (reference networks.py:192-213) -> UNetMatchingEncoder."""
+    p = ("matching_model",)
+    enc = p + ("encoder",)
+    t.conv(sd, "matching_model.encoder.conv_stem", enc + ("conv_stem",), bias=False)
+    t.bn(sd, "matching_model.encoder.bn1", enc + ("bn1",))
+    src = "matching_model.encoder.blocks.0.0"
+    dst = enc + ("blocks_0_0",)
+    t.conv(sd, f"{src}.conv_dw", dst + ("conv_dw",), bias=False)
+    t.bn(sd, f"{src}.bn1", dst + ("bn1",))
+    t.conv(sd, f"{src}.conv_pw", dst + ("conv_pw",), bias=False)
+    t.bn(sd, f"{src}.bn2", dst + ("bn2",))
+    for si, repeats in enumerate((3, 3, 3, 2, 4, 1), start=1):
+        for bi in range(repeats):
+            src = f"matching_model.encoder.blocks.{si}.{bi}"
+            dst = enc + (f"blocks_{si}_{bi}",)
+            t.conv(sd, f"{src}.conv_pw", dst + ("conv_pw",), bias=False)
+            t.bn(sd, f"{src}.bn1", dst + ("bn1",))
+            t.conv(sd, f"{src}.conv_dw", dst + ("conv_dw",), bias=False)
+            t.bn(sd, f"{src}.bn2", dst + ("bn2",))
+            t.conv(sd, f"{src}.conv_pwl", dst + ("conv_pwl",), bias=False)
+            t.bn(sd, f"{src}.bn3", dst + ("bn3",))
+    dec = p + ("decoder",)
+    for i in range(5):
+        for tv_name, flax_name in (("inner_blocks", "inner"),
+                                   ("layer_blocks", "layer")):
+            base = f"matching_model.decoder.{tv_name}.{i}"
+            # newer torchvision wraps the convs in Conv2dNormActivation
+            key = base if f"{base}.weight" in sd else f"{base}.0"
+            t.conv(sd, key, dec + (f"{flax_name}_{i}",))
+    t.conv(sd, "matching_model.outconv.1", p + ("outconv",))
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     """Convert a reference state_dict to {"params", "batch_stats"}."""
     t = _Tree()
@@ -221,6 +255,8 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
 
     if "matching_model.net.0.weight" in sd:
         _convert_matching_encoder(t, sd)
+    elif "matching_model.encoder.conv_stem.weight" in sd:
+        _convert_unet_matching_encoder(t, sd)
     if "cost_volume.mlp.net.0.weight" in sd:
         _convert_mlp(t, sd, "cost_volume.mlp", ("cost_volume", "mlp"))
     if "cost_volume.hint_mlp.net.0.weight" in sd:

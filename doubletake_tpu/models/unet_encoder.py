@@ -33,11 +33,12 @@ class _DepthwiseSeparable(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        y = MatmulConv(c, (3, 3), (1, 1), padding="SAME", use_bias=False,
-                       feature_group_count=c, name="conv_dw")(x)
+        y = MatmulConv(c, (3, 3), (1, 1), padding=((1, 1), (1, 1)),
+                       use_bias=False, feature_group_count=c,
+                       name="conv_dw")(x)
         y = batch_norm(train, self.bn_eps, name="bn1")(y)
         y = nn.relu(y)
-        y = MatmulConv(self.out_chs, (1, 1), (1, 1), padding="SAME",
+        y = MatmulConv(self.out_chs, (1, 1), (1, 1), padding=((0, 0), (0, 0)),
                        use_bias=False, name="conv_pw")(y)
         return batch_norm(train, self.bn_eps, name="bn2")(y)
 
@@ -57,16 +58,17 @@ class _InvertedResidual(nn.Module):
         in_chs = x.shape[-1]
         mid = int(in_chs * self.exp_ratio)
         shortcut = x
-        y = MatmulConv(mid, (1, 1), (1, 1), padding="SAME", use_bias=False,
-                       name="conv_pw")(x)
+        y = MatmulConv(mid, (1, 1), (1, 1), padding=((0, 0), (0, 0)),
+                       use_bias=False, name="conv_pw")(x)
         y = batch_norm(train, self.bn_eps, name="bn1")(y)
         y = nn.relu(y)
+        kp = self.kernel // 2
         y = MatmulConv(mid, (self.kernel, self.kernel), (self.stride, self.stride),
-                       padding="SAME", use_bias=False, feature_group_count=mid,
-                       name="conv_dw")(y)
+                       padding=((kp, kp), (kp, kp)), use_bias=False,
+                       feature_group_count=mid, name="conv_dw")(y)
         y = batch_norm(train, self.bn_eps, name="bn2")(y)
         y = nn.relu(y)
-        y = MatmulConv(self.out_chs, (1, 1), (1, 1), padding="SAME",
+        y = MatmulConv(self.out_chs, (1, 1), (1, 1), padding=((0, 0), (0, 0)),
                        use_bias=False, name="conv_pwl")(y)
         y = batch_norm(train, self.bn_eps, name="bn3")(y)
         if not self.noskip and self.stride == 1 and in_chs == self.out_chs:
@@ -93,8 +95,8 @@ class MnasNet100(nn.Module):
 
     @nn.compact
     def __call__(self, x_nhw3, train: bool = False):
-        x = MatmulConv(32, (3, 3), (2, 2), padding="SAME", use_bias=False,
-                       name="conv_stem")(x_nhw3)
+        x = MatmulConv(32, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                       use_bias=False, name="conv_stem")(x_nhw3)
         x = batch_norm(train, self.bn_eps, name="bn1")(x)
         x = nn.relu(x)
         x = _DepthwiseSeparable(16, self.bn_eps, name="blocks_0_0")(x, train)

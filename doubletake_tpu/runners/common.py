@@ -176,10 +176,18 @@ def scene_bounds_for_fusion(dataset, scan_id, max_extent: float = 10.0):
 
 def make_fuser(opts: Options, dataset, scan_id) -> Tuple[TSDF, FusionConfig]:
     """Score-fuser parity: resolution/ max depth from opts (0.02 m / 3.5 m
-    for published scores), extended negative truncation optional."""
+    for published scores), extended negative truncation optional.
+
+    depth_fuser selects the reference fuser family (get_fuser,
+    fusers_helper.py:214-260): "ours" is the paper-score fuser;
+    "open3d"/"custom_open3d" were the color-capable Open3D wrappers — here
+    one TSDF covers all three, with color enabled for the open3d names."""
+    if opts.depth_fuser not in ("ours", "open3d", "custom_open3d"):
+        raise ValueError(f"depth_fuser: {opts.depth_fuser} unknown")
+    with_color = opts.fuse_color or opts.depth_fuser in ("open3d", "custom_open3d")
     bounds = scene_bounds_for_fusion(dataset, scan_id)
     tsdf = TSDF.from_bounds(bounds, opts.fusion_resolution,
-                            with_color=opts.fuse_color)
+                            with_color=with_color)
     cfg = FusionConfig(
         min_depth=EVAL_MIN_DEPTH,
         max_depth=opts.fusion_max_depth,

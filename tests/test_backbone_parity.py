@@ -278,3 +278,134 @@ def test_resnet18d_activation_parity():
         np.asarray(x.numpy().transpose(0, 2, 3, 1)),
     )
     _compare(feats_t, feats_j, rtol=2e-3)
+
+
+class _TorchDS(nn.Module):
+    """timm DepthwiseSeparableConv (mnasnet stage 0)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(cin, cin, 3, 1, 1, groups=cin, bias=False)
+        self.bn1 = _bn(cin, 1e-5)
+        self.conv_pw = nn.Conv2d(cin, cout, 1, bias=False)
+        self.bn2 = _bn(cout, 1e-5)
+
+    def forward(self, x):
+        return self.bn2(self.conv_pw(F.relu(self.bn1(self.conv_dw(x)))))
+
+
+class _TorchMnasIR(nn.Module):
+    """timm InvertedResidual without SE (mnasnet 'ir')."""
+
+    def __init__(self, cin, cout, exp, k, stride, noskip):
+        super().__init__()
+        mid = int(cin * exp)
+        self.conv_pw = nn.Conv2d(cin, mid, 1, bias=False)
+        self.bn1 = _bn(mid, 1e-5)
+        self.conv_dw = nn.Conv2d(mid, mid, k, stride, k // 2, groups=mid,
+                                 bias=False)
+        self.bn2 = _bn(mid, 1e-5)
+        self.conv_pwl = nn.Conv2d(mid, cout, 1, bias=False)
+        self.bn3 = _bn(cout, 1e-5)
+        self.has_skip = not noskip and stride == 1 and cin == cout
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv_pw(x)))
+        y = F.relu(self.bn2(self.conv_dw(y)))
+        y = self.bn3(self.conv_pwl(y))
+        return y + x if self.has_skip else y
+
+
+_MNAS_STAGES = (  # mirrors unet_encoder._MNASNET_STAGES
+    (3, 3, 2, 3.0, 24), (3, 5, 2, 3.0, 40), (3, 5, 2, 6.0, 80),
+    (2, 3, 1, 6.0, 96), (4, 5, 2, 6.0, 192), (1, 3, 1, 6.0, 320),
+)
+
+
+class TorchUNetMatchingEncoder(nn.Module):
+    """mnasnet_100 features_only + torchvision FPN + outconv, timm/tv naming
+    (reference networks.py:192-213)."""
+
+    def __init__(self):
+        super().__init__()
+        torch.manual_seed(2)
+
+        class Enc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_stem = nn.Conv2d(3, 32, 3, 2, 1, bias=False)
+                self.bn1 = _bn(32, 1e-5)
+                blocks = [nn.Sequential(_TorchDS(32, 16))]
+                cin = 16
+                for (r, k, s0, e, cout) in _MNAS_STAGES:
+                    noskip = cout == 320
+                    stage = []
+                    for bi in range(r):
+                        stage.append(_TorchMnasIR(
+                            cin, cout, e, k, s0 if bi == 0 else 1,
+                            noskip and bi == 0))
+                        cin = cout
+                    blocks.append(nn.Sequential(*stage))
+                self.blocks = nn.Sequential(*blocks)
+
+            def forward(self, x):
+                x = F.relu(self.bn1(self.conv_stem(x)))
+                feats = []
+                for si, stage in enumerate(self.blocks):
+                    x = stage(x)
+                    if si in (0, 1, 2, 4, 6):
+                        feats.append(x)
+                return feats
+
+        class FPN(nn.Module):
+            def __init__(self, chans, out=32):
+                super().__init__()
+                self.inner_blocks = nn.ModuleList(
+                    [nn.Conv2d(c, out, 1) for c in chans])
+                self.layer_blocks = nn.ModuleList(
+                    [nn.Conv2d(out, out, 3, 1, 1) for _ in chans])
+
+            def forward(self, feats):
+                n = len(feats)
+                laterals = [ib(f) for ib, f in zip(self.inner_blocks, feats)]
+                merged = [None] * n
+                merged[-1] = laterals[-1]
+                for i in range(n - 2, -1, -1):
+                    up = F.interpolate(merged[i + 1],
+                                       size=laterals[i].shape[-2:],
+                                       mode="nearest")
+                    merged[i] = laterals[i] + up
+                return [lb(m) for lb, m in zip(self.layer_blocks, merged)]
+
+        self.encoder = Enc()
+        self.decoder = FPN([16, 24, 40, 96, 320])
+        self.outconv = nn.Sequential(
+            nn.LeakyReLU(0.2), nn.Conv2d(32, 16, 1),
+            nn.InstanceNorm2d(16),
+        )
+
+    def forward(self, x):
+        feats = self.encoder(x)
+        fpn = self.decoder(feats)
+        return self.outconv(fpn[1])
+
+
+@torch.no_grad()
+def test_unet_matching_encoder_activation_parity():
+    from doubletake_tpu.models.unet_encoder import UNetMatchingEncoder
+
+    tm = TorchUNetMatchingEncoder().eval()
+    x = torch.randn(1, 3, H, W)
+    out_t = tm(x)
+
+    variables = convert_state_dict(_prefixed_sd(tm, prefix="matching_model."))
+    params = variables["params"]["matching_model"]
+    jm = UNetMatchingEncoder()
+    out_j = jm.apply({"params": params, "batch_stats":
+                      variables["batch_stats"]["matching_model"]},
+                     np.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    a = out_t.numpy().transpose(0, 2, 3, 1)
+    b = np.asarray(out_j)
+    assert a.shape == b.shape
+    err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+    assert err < 2e-3, f"rel diff {err}"
