@@ -94,3 +94,35 @@ def test_single_device_train_step_loss_drops_on_fixed_batch():
     # optimizing a fixed batch must find improvement below the initial loss
     # (first AdamW steps can wander; require the best-so-far to improve)
     assert min(vals[1:]) < vals[0]
+
+
+@pytest.mark.slow
+def test_train_loop_end_to_end(tmp_path):
+    """train() glue: snapshot, flip/color aug step, multi-val-loader
+    protocol, checkpointing, best-ckpt tracking — 2 steps on synthetic."""
+    import os
+
+    o = small_opts()
+    o.name = "train_smoke"
+    o.log_dir = str(tmp_path)
+    o.dataset_path = ""
+    o.max_steps = 2
+    o.val_interval = 2
+    o.val_batches = 1
+    o.val_batch_size = 2
+    o.batch_size = 8
+    o.log_interval = 1
+    o.image_log_interval = 1000
+    o.num_workers = 0
+    o.fill_depth_hints = True  # exercises the 4-val-loader hint-aug path
+
+    from doubletake_tpu.training.train_loop import train
+
+    state = train(o)
+    assert int(state.step) == 2
+    log_dir = os.path.join(str(tmp_path), "train_smoke")
+    assert os.path.exists(os.path.join(log_dir, "options.yaml"))
+    assert os.path.exists(os.path.join(log_dir, "code", "doubletake_tpu"))
+    assert os.path.isdir(os.path.join(log_dir, "checkpoints"))
+    # val_0 a5 always improves over -1 => best checkpoint written
+    assert os.path.isdir(os.path.join(log_dir, "best"))
