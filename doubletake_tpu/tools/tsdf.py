@@ -295,37 +295,31 @@ def _build_ray_table(tsdf: TSDF):
 
     v8, w8 = blocks(tsdf.values), blocks(tsdf.weights)
     vw = jnp.concatenate([v8, w8], axis=-1)  # (X, Y, zb, 16)
-    # pack the (y0, y1) pair into one row: halves the gather count per
-    # trilinear sample (gathers from this HBM-resident table are
-    # latency-bound ~11 ns/row) for one cheap extra repack stage
-    y1 = jnp.pad(vw[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
-    table = jnp.concatenate([vw, y1], axis=-1)  # (X, Y, zb, 32)
-    return table.reshape(X * Y * zb, 32), zb
+    return vw.reshape(X * Y * zb, 16), zb
 
 
 def _trilinear_from_rows(corner_rows, fx, fy, fz, zoff):
-    """Trilinear (value, weight) from two packed corner rows.
+    """Trilinear (value, weight) from four packed corner rows.
 
-    corner_rows: (rows_x0, rows_x1), each (N, 32) laid out
-    [v_y0(8) w_y0(8) v_y1(8) w_y1(8)]; fx/fy/fz fractional parts;
-    zoff = z0 - 4*zb in [0, 3].
+    corner_rows: tuple of (N, 16) rows for xy corners (00, 01, 10, 11);
+    fx/fy/fz fractional parts; zoff = z0 - 4*zb in [0, 3].
     """
-    lanes = jnp.arange(32, dtype=jnp.int32)
+    lanes = jnp.arange(16, dtype=jnp.int32)
     zl = lanes % 8
-    grp = lanes // 8          # 0: v@y0, 1: w@y0, 2: v@y1, 3: w@y1
-    is_weight = (grp % 2) == 1
-    is_y1 = grp >= 2
+    is_weight = lanes >= 8
 
     zo = zoff[:, None]
     wz = (
         jnp.where(zl[None] == zo, 1.0 - fz[:, None], 0.0)
         + jnp.where(zl[None] == zo + 1, fz[:, None], 0.0)
     )
-    wy = jnp.where(is_y1[None], fy[:, None], (1.0 - fy)[:, None])
+    cws = (
+        (1.0 - fx) * (1.0 - fy), (1.0 - fx) * fy, fx * (1.0 - fy), fx * fy
+    )
     val = 0.0
     wt = 0.0
-    for rows, wx in zip(corner_rows, (1.0 - fx, fx)):
-        r = rows.astype(jnp.float32) * (wz * wy * wx[:, None])
+    for rows, cw in zip(corner_rows, cws):
+        r = rows.astype(jnp.float32) * (wz * cw[:, None])
         val = val + jnp.sum(jnp.where(is_weight[None], 0.0, r), axis=-1)
         wt = wt + jnp.sum(jnp.where(is_weight[None], r, 0.0), axis=-1)
     return val, wt
@@ -421,12 +415,12 @@ def raycast(
         f = v - v0
         i = v0.astype(jnp.int32)
         zblk = i[:, 2] // 4
-        # two x-corner rows, each packing the (y0, y1) pair; the clip above
-        # guarantees x0+1 <= X-1 (and the table pads y+1 with zeros)
+        # four xy-corner rows (x0/x1, y0/y1); the clip above guarantees
+        # x0+1 <= X-1 and y0+1 <= Y-1
         base = (i[:, 0] * Y + i[:, 1]) * zb + zblk
-        rows = (
-            jnp.take(table, base, axis=0),
-            jnp.take(table, base + Y * zb, axis=0),
+        rows = tuple(
+            jnp.take(table, base + (dx * Y + dy) * zb, axis=0)
+            for dx in (0, 1) for dy in (0, 1)
         )
         return _trilinear_from_rows(
             rows, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4
