@@ -237,6 +237,8 @@ class FeatureVolume(nn.Module):
             and not train  # the kernel has no VJP; training uses XLA
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
+            and b == 1  # b>1 lays out per-sample pallas calls that can
+                        # exceed the 16MB scoped-vmem budget; XLA path there
             and w == 128
             and c == 16
             and h % 8 == 0
