@@ -27,7 +27,10 @@ from doubletake_tpu.runners import common
 from doubletake_tpu.runners.incremental import HINT_WEIGHT_THRESHOLD
 from doubletake_tpu.runners.no_hint import unique_scans
 from doubletake_tpu.runners.offline_two_pass import compute_hint_volume, make_pass2_step
+from doubletake_tpu.tools.tsdf import integrate_depth
 from doubletake_tpu.utils.metrics import ResultsAverager
+
+import jax
 
 
 def run(opts: Options, variables=None):
@@ -71,6 +74,15 @@ def run(opts: Options, variables=None):
         step = make_pass2_step(model, hint_h, hint_w, opts.raycast_samples, 3.0)
         loader = DataLoader(rescan_ds, batch_size=1, shuffle=False,
                             num_workers=min(4, opts.num_workers))
+        tsdf = None
+        if opts.run_fusion:
+            # optional fusion of the rescan's predictions (test_revisit.py
+            # supports the final 0.02/3.5 fuser like the other modes)
+            tsdf, cfg = common.make_fuser(opts, rescan_ds, scan_id)
+            fuse = jax.jit(
+                lambda vol, d, c, k: integrate_depth(vol, d, c, k, cfg),
+                donate_argnums=0,
+            )
         scan_metrics = ResultsAverager(opts.name, f"scan {scan_id}")
         for cur_np, src_np in loader:
             cur, src = common.device_batch(cur_np, src_np)
@@ -91,6 +103,23 @@ def run(opts: Options, variables=None):
             fm["hint_coverage"] = float(np.asarray(hint["hint_mask_bhw1"]).mean())
             scan_metrics.update_results(fm)
             all_frame_avg.update_results(fm)
+
+            if opts.run_fusion:
+                fusion_depth = common.depth_for_fusion(opts, out)
+                tsdf = fuse(tsdf, fusion_depth[0],
+                            cur["cam_T_world_b44"][0], cur["K_s0_b44"][0])
+
+        if opts.run_fusion:
+            tsdf = common.finalize_tsdf(opts, tsdf)
+            tsdf.save(os.path.join(
+                meshes_dir, f"{scan_id.replace('/', '_')}_tsdf.npz"))
+            try:
+                from doubletake_tpu.tools.marching_cubes import export_mesh
+
+                export_mesh(tsdf, os.path.join(
+                    meshes_dir, f"{scan_id.replace('/', '_')}.ply"))
+            except ImportError:
+                pass
 
         scan_metrics.compute_final_average()
         scan_metrics.output_json(
