@@ -295,31 +295,39 @@ def _build_ray_table(tsdf: TSDF):
 
     v8, w8 = blocks(tsdf.values), blocks(tsdf.weights)
     vw = jnp.concatenate([v8, w8], axis=-1)  # (X, Y, zb, 16)
-    return vw.reshape(X * Y * zb, 16), zb
+    # pack the (x0, x1) pair into one row. Row-gather cost here is HBM
+    # latency on *far* rows: x-neighbor rows are Y*zb rows apart (~370 KB)
+    # while y-neighbor rows are zb rows apart (~1 KB, near-sequential), so
+    # baking the far pair into the row leaves only two cheap local gathers
+    # per trilinear sample.
+    x1 = jnp.pad(vw[1:], ((0, 1), (0, 0), (0, 0), (0, 0)))
+    table = jnp.concatenate([vw, x1], axis=-1)  # (X, Y, zb, 32)
+    return table.reshape(X * Y * zb, 32), zb
 
 
 def _trilinear_from_rows(corner_rows, fx, fy, fz, zoff):
-    """Trilinear (value, weight) from four packed corner rows.
+    """Trilinear (value, weight) from two packed corner rows.
 
-    corner_rows: tuple of (N, 16) rows for xy corners (00, 01, 10, 11);
-    fx/fy/fz fractional parts; zoff = z0 - 4*zb in [0, 3].
+    corner_rows: (rows_y0, rows_y1), each (N, 32) laid out
+    [v_x0(8) w_x0(8) v_x1(8) w_x1(8)]; fx/fy/fz fractional parts;
+    zoff = z0 - 4*zb in [0, 3].
     """
-    lanes = jnp.arange(16, dtype=jnp.int32)
+    lanes = jnp.arange(32, dtype=jnp.int32)
     zl = lanes % 8
-    is_weight = lanes >= 8
+    grp = lanes // 8          # 0: v@x0, 1: w@x0, 2: v@x1, 3: w@x1
+    is_weight = (grp % 2) == 1
+    is_x1 = grp >= 2
 
     zo = zoff[:, None]
     wz = (
         jnp.where(zl[None] == zo, 1.0 - fz[:, None], 0.0)
         + jnp.where(zl[None] == zo + 1, fz[:, None], 0.0)
     )
-    cws = (
-        (1.0 - fx) * (1.0 - fy), (1.0 - fx) * fy, fx * (1.0 - fy), fx * fy
-    )
+    wx = jnp.where(is_x1[None], fx[:, None], (1.0 - fx)[:, None])
     val = 0.0
     wt = 0.0
-    for rows, cw in zip(corner_rows, cws):
-        r = rows.astype(jnp.float32) * (wz * cw[:, None])
+    for rows, wy in zip(corner_rows, (1.0 - fy, fy)):
+        r = rows.astype(jnp.float32) * (wz * wx * wy[:, None])
         val = val + jnp.sum(jnp.where(is_weight[None], 0.0, r), axis=-1)
         wt = wt + jnp.sum(jnp.where(is_weight[None], r, 0.0), axis=-1)
     return val, wt
@@ -415,12 +423,13 @@ def raycast(
         f = v - v0
         i = v0.astype(jnp.int32)
         zblk = i[:, 2] // 4
-        # four xy-corner rows (x0/x1, y0/y1); the clip above guarantees
-        # x0+1 <= X-1 and y0+1 <= Y-1
+        # two y-corner rows, each packing the (x0, x1) far-neighbor pair;
+        # the clip above guarantees y0+1 <= Y-1 and the table pads x+1
+        # with zeros past the last x
         base = (i[:, 0] * Y + i[:, 1]) * zb + zblk
-        rows = tuple(
-            jnp.take(table, base + (dx * Y + dy) * zb, axis=0)
-            for dx in (0, 1) for dy in (0, 1)
+        rows = (
+            jnp.take(table, base, axis=0),
+            jnp.take(table, base + zb, axis=0),
         )
         return _trilinear_from_rows(
             rows, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4

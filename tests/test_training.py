@@ -112,7 +112,7 @@ def test_train_loop_end_to_end(tmp_path):
     o.val_batch_size = 2
     o.batch_size = 8
     o.log_interval = 1
-    o.image_log_interval = 1000
+    o.image_log_interval = 2  # exercise the TB image-panel path once
     o.num_workers = 0
     o.fill_depth_hints = True  # exercises the 4-val-loader hint-aug path
 
@@ -126,3 +126,6 @@ def test_train_loop_end_to_end(tmp_path):
     assert os.path.isdir(os.path.join(log_dir, "checkpoints"))
     # val_0 a5 always improves over -1 => best checkpoint written
     assert os.path.isdir(os.path.join(log_dir, "best"))
+    # TB events written (scalars + the step-2 image panels)
+    events = [f for f in os.listdir(log_dir) if "tfevents" in f]
+    assert events, "no TensorBoard event file written" 
