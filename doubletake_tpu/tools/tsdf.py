@@ -208,15 +208,16 @@ def integrate_depth(
 
     out_colors = tsdf.colors
     if tsdf.colors is not None and image_hw3 is not None:
-        # color fusion: same running weighted mean, same validity, bilinear
-        # image sample (Open3D ScalableTSDFVolume color behavior,
-        # fusers_helper.py:110-211)
-        gx = 2.0 * px[:, 0] / w - 1.0
-        gy = 2.0 * px[:, 1] / h - 1.0
-        grid = jnp.stack([gx, gy], axis=-1)[None, :, None, :]
-        rgb = grid_sample_2d(
-            image_hw3[None].astype(jnp.float32), grid, mode="bilinear"
-        )[0, :, 0]  # (N, 3)
+        # color fusion: same running weighted mean, same validity, nearest
+        # image sample (Open3D ScalableTSDFVolume fetches the projected
+        # pixel's color, fusers_helper.py:110-211). The table is padded to
+        # 8 lanes: XLA lays width-3 gather outputs out as (N, 128)-tiled
+        # (42x padding, OOM at volume scale) but handles 8-lane rows fine.
+        rgb_table = jnp.pad(
+            image_hw3.reshape(-1, 3).astype(jnp.float32), ((0, 0), (0, 5))
+        )
+        rgb = jnp.take(rgb_table, flat, axis=0)[:, :3]
+        rgb = jnp.where(in_img[:, None], rgb, 0.0)
         old_c = tsdf.colors.reshape(-1, 3).astype(jnp.float32)
         fused_c = (
             old_c * old_wts[:, None] + rgb * new_wts[:, None]
