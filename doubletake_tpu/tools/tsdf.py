@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from doubletake_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+from doubletake_tpu.ops.grid_sample import grid_sample_3d
 
 _PREC = jax.lax.Precision.HIGHEST
 
