@@ -294,3 +294,30 @@ def test_mv_depth_loss_matches_reference():
         jnp.asarray(world_T_cam), jnp.asarray(src_T_cur),
     )
     np.testing.assert_allclose(float(j), float(t), rtol=1e-4)
+
+
+@torch.no_grad()
+def test_depth_metrics_match_reference():
+    """Depth metric math vs the reference's own metrics_utils (valid-masked
+    batched variant vs their NaN-trick batched path)."""
+    from doubletake.utils import metrics_utils as ref_metrics
+
+    from doubletake_tpu.utils.metrics import compute_depth_metrics_batched
+
+    rng = np.random.RandomState(0)
+    gt = rng.uniform(0.6, 4.0, (2, 500)).astype(np.float32)
+    pred = rng.uniform(0.6, 4.0, (2, 500)).astype(np.float32)
+    valid = rng.rand(2, 500) > 0.3
+
+    ours = compute_depth_metrics_batched(
+        jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(valid), mult_a=True
+    )
+    for b in range(2):
+        tgt = torch.from_numpy(gt[b][valid[b]])
+        tpred = torch.from_numpy(pred[b][valid[b]])
+        ref = ref_metrics.compute_depth_metrics(tgt, tpred, mult_a=True)
+        for key, val in ref.items():
+            mine = float(np.asarray(ours[key])[b])
+            np.testing.assert_allclose(
+                mine, float(val), rtol=2e-4, err_msg=f"{key} (batch {b})"
+            )
