@@ -237,8 +237,6 @@ class FeatureVolume(nn.Module):
             and not train  # the kernel has no VJP; training uses XLA
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
-            and b == 1  # b>1 lays out per-sample pallas calls that can
-                        # exceed the 16MB scoped-vmem budget; XLA path there
             and w == 128
             and c == 16
             and h % 8 == 0
@@ -340,6 +338,9 @@ class FeatureVolume(nn.Module):
         the XLA path at ~1e-3 mean / 5e-3 p99 on O(1) scores (validated by
         tests/test_fused_volume.py and on-TPU parity checks). Inference
         only — the kernel has no VJP; training always takes the XLA path.
+        Batched: one pallas call with the batch as a grid dimension (the
+        reference capability analog: arbitrary-batch fast path,
+        feature_volume.py:588-796).
         """
         from doubletake_tpu.ops.pallas.fused_volume import (
             fused_feature_volume, pad_mlp_weights,
@@ -353,35 +354,32 @@ class FeatureVolume(nn.Module):
         )
         weights = pad_mlp_weights(mlp_params, hint_params)
 
-        vols = []
-        for bi in range(b):
-            hint_hw3 = None
-            if self.use_hint_mlp:
-                hint_hw3 = jnp.stack(
-                    [
-                        hint_depth[bi].astype(jnp.float32),
-                        hint_valid[bi].astype(jnp.float32),
-                        hint_weights[bi].astype(jnp.float32),
-                    ],
-                    axis=-1,
-                )
-            vol_dhw, _ = fused_feature_volume(
-                cur_feats_bhwc[bi],
-                src_feats_bkhwc[bi],
-                src_cam_T_cur_cam_bk44[bi],
-                cur_cam_T_src_cam_bk44[bi],
-                src_K_bk44[bi],
-                cur_invK_b44[bi],
-                min_depth,
-                max_depth,
-                weights,
-                hint_hw3=hint_hw3,
-                num_depth_bins=self.num_depth_bins,
-                use_hint=self.use_hint_mlp,
+        hint_bhw3 = None
+        if self.use_hint_mlp:
+            hint_bhw3 = jnp.stack(
+                [
+                    hint_depth.astype(jnp.float32),
+                    hint_valid.astype(jnp.float32),
+                    hint_weights.astype(jnp.float32),
+                ],
+                axis=-1,
             )
-            vols.append(vol_dhw)
+        volume_bdhw, _ = fused_feature_volume(
+            cur_feats_bhwc,
+            src_feats_bkhwc,
+            src_cam_T_cur_cam_bk44,
+            cur_cam_T_src_cam_bk44,
+            src_K_bk44,
+            cur_invK_b44,
+            min_depth,
+            max_depth,
+            weights,
+            hint_bhw3=hint_bhw3,
+            num_depth_bins=self.num_depth_bins,
+            use_hint=self.use_hint_mlp,
+        )
 
-        volume_bhwd = jnp.stack(vols).transpose(0, 2, 3, 1)
+        volume_bhwd = volume_bdhw.transpose(0, 2, 3, 1)
         volume_bhwd = volume_bhwd.astype(cur_feats_bhwc.dtype)
         lowest_cost_bhw = planes_d[jnp.argmax(volume_bhwd, axis=-1)]
 

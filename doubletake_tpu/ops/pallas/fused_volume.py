@@ -2,12 +2,12 @@
 
 Replaces the gather-bound XLA cost-volume path (reference behavior:
 src/doubletake/modules/feature_volume.py FastFeatureVolumeManager +
-mesh_hint_volume.py) with a single kernel that, for each (depth plane,
-8-row block), performs IN VMEM:
+mesh_hint_volume.py) with a single kernel that, for each
+(batch, depth-plane block, 8-row block), performs IN VMEM:
 
   1. exact bilinear warping of every source view's matching features via
      separable one-hot matmuls on the MXU — Wx (x-interp across the
-     128-wide row) and a banded Wy (row mix over a 16-row band of the
+     128-wide row) and a banded Wy (row mix over a 32-row band of the
      source image). The one-hot weights reproduce
      ``F.grid_sample(align_corners=False, padding_mode="zeros")`` exactly:
      out-of-image samples receive zero weight;
@@ -18,9 +18,16 @@ mesh_hint_volume.py) with a single kernel that, for each (depth plane,
   4. the matching MLP [202, 128, 128, 1] and optional hint MLP
      [3, 12, 12, 1] on the MXU.
 
-Only the final (D, h, w) volume leaves the kernel — no multi-hundred-MB
+Only the final (B, D, h, w) volume leaves the kernel — no multi-hundred-MB
 warped-feature or metadata intermediates ever touch HBM. Geometry
 (projection, rays, depths) is precomputed in XLA (cheap elementwise ops).
+
+Batching (reference capability: arbitrary-batch fast path,
+feature_volume.py:588-796): the batch is grid dimension 0; each batch
+element's source-feature matrix is DMA'd into VMEM scratch once at its
+first grid step. The per-row source band start is computed IN the kernel
+(a lane-min over the row's sampling coordinates) — as a host-precomputed
+scalar-prefetch operand it would scale SMEM footprint with batch size.
 
 Why matmuls instead of gathers: XLA lowers generic gathers on this TPU to
 ~7 ns/row serial loops (~160 ms/frame measured), and Mosaic's per-lane
@@ -31,7 +38,7 @@ to ops Mosaic lowers well: 2-D iota/compares, lane-dim concatenation,
 static slices, matmuls (no 3-D reshapes).
 
 Band caveat: for one output row, sampled source rows must fall in a
-16-row band starting at min(floor(sy))-1 over the row (clamped to the
+32-row band starting at min(floor(sy))-1 over the row (clamped to the
 image). Violations (extreme in-plane rotation) produce zeros, like
 out-of-image samples; realistic MVS trajectories stay well inside the
 band (validated in tests against the XLA path).
@@ -60,6 +67,9 @@ _PREC = jax.lax.Precision.HIGHEST
 
 BAND = 32           # source-row band height per output row
 ROWS_PER_STEP = 8   # output rows per grid step (block alignment)
+PLANES_PER_STEP = 8  # depth planes per grid step: amortizes the ~50 us
+                     # fixed per-step cost measured on this platform
+                     # (PERF_NOTES round 2; grid 768 -> 96 steps/sample)
 LANES = 128         # matching width (one output row per lane vector)
 CH = 16             # matching feature channels
 MLP_IN_PAD = 256    # 202-channel MLP input padded to a lane multiple
@@ -74,10 +84,10 @@ def _precompute_geometry(
     Layouts are chosen for Mosaic-friendly blocks (w second-to-last or
     last; small trailing dims equal to the full array dim):
       ix, iy      (k, D, h, w) fp32
-      z           (D, h, w, k) fp32 (all views as trailing columns)
+      z_khw       (k, D, h, w) fp32 (row layout: in-kernel band + masks)
+      z           (D, h, w, k) fp32 (all views as trailing metadata columns)
       cur_rays    (D, h, w, 3)
       src_rays    (k, D, h, w, 3)
-      band        (k, D, h) int32
     """
     k = src_K_k44.shape[0]
     d = planes_d.shape[0]
@@ -106,7 +116,8 @@ def _precompute_geometry(
 
     ix = ix.reshape(k, d, h, w)
     iy = iy.reshape(k, d, h, w)
-    z_dhwk = z.reshape(k, d, h, w).transpose(1, 2, 3, 0)
+    z_khw = z.reshape(k, d, h, w)
+    z_dhwk = z_khw.transpose(1, 2, 3, 0)
 
     cur_rays = normalize_vectors(pts_d3n, axis=1)       # (D, 3, N)
     cur_rays = cur_rays.reshape(d, 3, h, w).transpose(0, 2, 3, 1)  # (D,h,w,3)
@@ -115,21 +126,8 @@ def _precompute_geometry(
         pts_d3n[None] - centers_k3[:, None, :, None], axis=2
     ).reshape(k, d, 3, h, w).transpose(0, 1, 3, 4, 2)   # (k, D, h, w, 3)
 
-    # band start from pixels that can actually contribute: in front of the
-    # camera and sampling inside (or touching) the image. Behind-camera
-    # pixels produce garbage coordinates that must not drag the band away.
-    v0 = jnp.floor(iy)
-    z_khw = z.reshape(k, d, h, w)
-    contributes = (z_khw > 0) & (v0 + 1 >= 0) & (v0 <= h - 1)
-    v0_masked = jnp.where(contributes, v0, jnp.inf)
-    vmin = jnp.min(v0_masked, axis=3)
-    vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
-    # align the band start DOWN to 8 rows: the kernel then slices the
-    # (W, H*C) source matrix at lane offsets that are multiples of 128,
-    # which Mosaic handles without any relayout
-    band = jnp.clip(((vmin.astype(jnp.int32) - 1) // 8) * 8, 0, h - BAND)
-    return dict(ix=ix, iy=iy, z=z_dhwk, cur_rays=cur_rays,
-                src_rays=src_rays, band=band)
+    return dict(ix=ix, iy=iy, z_khw=z_khw, z=z_dhwk, cur_rays=cur_rays,
+                src_rays=src_rays)
 
 
 def _leaky(x):
@@ -137,23 +135,35 @@ def _leaky(x):
 
 
 def _process_row(
-    sub, d_idx, y_blk, plane_depth, consts, band_ref, src_vmem,
-    cur_feats_ref, ix_ref, iy_ref, z_ref, cur_rays_ref, src_rays_ref,
+    sub, p, plane_depth, consts, src_vmem,
+    cur_feats_ref, ix_ref, iy_ref, zk_ref, z_ref, cur_rays_ref, src_rays_ref,
     pose_meta_ref, hint_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref, out_ref,
-    warp_scratch, k, use_hint,
+    warp_scratch, k, use_hint, h,
 ):
     W, C = LANES, CH
     identity, u_iota_r, r_iota, expand_E, fold_F = consts
-    cur_row = cur_feats_ref[sub]                        # (W, C)
-    z_cols = z_ref[0, sub]                              # (W, k)
+    cur_row = cur_feats_ref[0, sub]                     # (W, C)
+    z_cols = z_ref[0, p, sub]                           # (W, k)
     mask_cols = (z_cols > 0).astype(jnp.float32)        # (W, k)
-    row_off = y_blk * ROWS_PER_STEP + sub
 
     def view_body(ki, _):
-        ix_row = ix_ref[pl.ds(ki, 1), 0, sub]           # (1, W)
-        iy_row = iy_ref[pl.ds(ki, 1), 0, sub]
-        band0 = band_ref[ki, d_idx, row_off]
+        ix_row = ix_ref[0, pl.ds(ki, 1), p, sub]        # (1, W)
+        iy_row = iy_ref[0, pl.ds(ki, 1), p, sub]
+        z_row = zk_ref[0, pl.ds(ki, 1), p, sub]
+
+        # source-row band start for this (view, plane, row): pixels that can
+        # actually contribute are in front of the camera and sample inside
+        # (or touching) the image — behind-camera pixels produce garbage
+        # coordinates that must not drag the band away. Aligned DOWN to 8
+        # rows so the (W, H*C) lane slice below is 128-aligned.
+        v0_row = jnp.floor(iy_row)
+        contributes = (z_row > 0) & (v0_row + 1 >= 0) & (v0_row <= h - 1)
+        vmin = jnp.min(jnp.where(contributes, v0_row, jnp.inf))
+        vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
+        band0 = jnp.clip(
+            ((vmin.astype(jnp.int32) - 1) // 8) * 8, 0, h - BAND
+        )
 
         # transpose ix to a column via one identity matmul, then build the
         # x-interp one-hot STRAIGHT (out-x rows, u lanes): a dim-0-contracted
@@ -207,7 +217,7 @@ def _process_row(
     ]
 
     # ---- metadata assembly (lane concat), exact reference channel order ----
-    cur_rays = cur_rays_ref[0, sub]                     # (W, 3)
+    cur_rays = cur_rays_ref[0, p, sub]                  # (W, 3)
     pieces = []
     pieces.extend(warps)                                # k * C
     pieces.append(cur_row)                              # C
@@ -216,11 +226,11 @@ def _process_row(
     pieces.append(jnp.full((W, 1), plane_depth))        # 1
     pieces.extend(dots)                                 # k
     for ki in range(k):                                 # ray angles: k
-        sr = src_rays_ref[ki, 0, sub]                   # (W, 3)
+        sr = src_rays_ref[0, ki, p, sub]                # (W, 3)
         pieces.append((cur_rays * sr).sum(axis=1, keepdims=True))
     pieces.append(cur_rays)                             # 3 (cur rays first)
     for ki in range(k):                                 # 3k (src rays)
-        pieces.append(src_rays_ref[ki, 0, sub])
+        pieces.append(src_rays_ref[0, ki, p, sub])
     pose_meta = pose_meta_ref[0:1, :]                   # (1, 3k)
     pieces.append(jnp.broadcast_to(pose_meta, (W, pose_meta.shape[1])))
 
@@ -241,7 +251,7 @@ def _process_row(
     )                                                   # (W, 1)
 
     if use_hint:
-        hint = hint_ref[sub]                            # (W, 3)
+        hint = hint_ref[0, sub]                         # (W, 3)
         valid = hint[:, 1:2] > 0.5
         diff = jnp.where(valid, jnp.abs(hint[:, 0:1] - plane_depth), -1.0)
         wts = jnp.where(valid, hint[:, 2:3], 0.0)
@@ -257,28 +267,29 @@ def _process_row(
             + hb3_ref[0, 0]
         )
 
-    out_ref[0, sub] = score[:, 0]
+    out_ref[0, p, sub] = score[:, 0]
 
 
 def _kernel(
-    band_ref, src_t_ref, cur_feats_ref, ix_ref, iy_ref, z_ref,
+    src_t_ref, cur_feats_ref, ix_ref, iy_ref, zk_ref, z_ref,
     cur_rays_ref, src_rays_ref, plane_ref, pose_meta_ref, hint_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
     out_ref, src_vmem, warp_scratch, copy_sem, *, num_views: int,
-    use_hint: bool,
+    use_hint: bool, h: int,
 ):
     W, C = LANES, CH
-    d_idx = pl.program_id(0)
-    y_blk = pl.program_id(1)
-    plane_depth = plane_ref[d_idx % 8, 0]
+    bi = pl.program_id(0)
+    d_idx = pl.program_id(1)
+    y_blk = pl.program_id(2)
 
-    # the source-feature matrix is grid-invariant: DMA it into VMEM ONCE on
-    # the first step (a VMEM-blocked input would be re-copied every step —
-    # measured at 165 ms/frame of pure pipeline overhead)
+    # the source-feature matrix is grid-invariant per batch element: DMA it
+    # into VMEM ONCE at that element's first step (a VMEM-blocked input
+    # would be re-copied every step — measured at 165 ms/frame of pure
+    # pipeline overhead)
     @pl.when(jnp.logical_and(d_idx == 0, y_blk == 0))
     def _copy_src():
-        copy = pltpu.make_async_copy(src_t_ref, src_vmem, copy_sem)
+        copy = pltpu.make_async_copy(src_t_ref.at[bi], src_vmem, copy_sem)
         copy.start()
         copy.wait()
 
@@ -301,15 +312,18 @@ def _kernel(
     fold_F = (rc_mod == c_col).astype(jnp.bfloat16)
     consts = (identity, u_iota_r, r_iota, expand_E, fold_F)
 
-    for sub in range(ROWS_PER_STEP):
-        _process_row(
-            sub, d_idx, y_blk, plane_depth, consts, band_ref, src_vmem,
-            cur_feats_ref, ix_ref, iy_ref, z_ref, cur_rays_ref, src_rays_ref,
-            pose_meta_ref, hint_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-            hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
-            out_ref, warp_scratch, num_views, use_hint,
-        )
+    for p in range(PLANES_PER_STEP):
+        plane_depth = plane_ref[p, 0]
+        for sub in range(ROWS_PER_STEP):
+            _process_row(
+                sub, p, plane_depth, consts, src_vmem,
+                cur_feats_ref, ix_ref, iy_ref, zk_ref, z_ref,
+                cur_rays_ref, src_rays_ref,
+                pose_meta_ref, hint_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
+                out_ref, warp_scratch, num_views, use_hint, h,
+            )
 
 
 def pad_mlp_weights(mlp_params, hint_params=None):
@@ -352,108 +366,109 @@ def pad_mlp_weights(mlp_params, hint_params=None):
     jax.jit, static_argnames=("num_depth_bins", "use_hint", "interpret")
 )
 def fused_feature_volume(
-    cur_feats_hwc,
-    src_feats_khwc,
-    src_cam_T_cur_cam_k44,
-    cur_cam_T_src_cam_k44,
-    src_K_k44,
-    cur_invK_44,
+    cur_feats_bhwc,
+    src_feats_bkhwc,
+    src_cam_T_cur_cam_bk44,
+    cur_cam_T_src_cam_bk44,
+    src_K_bk44,
+    cur_invK_b44,
     min_depth,
     max_depth,
     mlp_weights,
-    hint_hw3=None,
+    hint_bhw3=None,
     num_depth_bins: int = 64,
     use_hint: bool = False,
     interpret: bool = False,
 ):
-    """(D, h, w) metadata feature volume via the fused kernel.
+    """(B, D, h, w) metadata feature volume via the fused kernel.
 
-    Single-sample (no batch dim). hint_hw3: (h, w, 3) stacked
-    [depth (non-finite allowed; gated by valid), valid 0/1, weights].
-    Returns (volume_dhw, planes_d).
+    Batched: one pallas call, batch as grid dim 0 (each element's source
+    matrix is DMA'd once at its first grid step). hint_bhw3: (B, h, w, 3)
+    stacked [depth (non-finite allowed; gated by valid), valid 0/1,
+    weights]. Returns (volume_bdhw, planes_d).
     """
-    h, w, c = cur_feats_hwc.shape
-    k = src_feats_khwc.shape[0]
+    b, h, w, c = cur_feats_bhwc.shape
+    k = src_feats_bkhwc.shape[1]
     assert w == LANES and c == CH, "fused kernel is specialized to w=128, c=16"
     assert h % ROWS_PER_STEP == 0
     D = num_depth_bins
+    assert D % PLANES_PER_STEP == 0
 
     ramp = jnp.linspace(0.0, 1.0, D)
     planes_d = jnp.exp(jnp.log(min_depth) + jnp.log(max_depth / min_depth) * ramp)
 
-    geo = _precompute_geometry(
-        src_K_k44, src_cam_T_cur_cam_k44, cur_cam_T_src_cam_k44, cur_invK_44,
-        planes_d, h, w,
-    )
+    geo = jax.vmap(
+        lambda sk, st, ct, ik: _precompute_geometry(
+            sk, st, ct, ik, planes_d, h, w
+        )
+    )(src_K_bk44, src_cam_T_cur_cam_bk44, cur_cam_T_src_cam_bk44,
+      cur_invK_b44)
 
-    pd, rm, tm = pose_distance(cur_cam_T_src_cam_k44)
-    pose_meta = jnp.concatenate([pd, rm, tm])[None].astype(jnp.float32)
+    pd, rm, tm = pose_distance(cur_cam_T_src_cam_bk44.reshape(b * k, 4, 4))
+    pose_meta = jnp.concatenate(
+        [pd.reshape(b, k), rm.reshape(b, k), tm.reshape(b, k)], axis=1
+    ).astype(jnp.float32)                                # (b, 3k)
 
-    if hint_hw3 is None:
-        hint_hw3 = jnp.zeros((h, w, 3), jnp.float32)
-    hint_clean = jnp.where(jnp.isfinite(hint_hw3), hint_hw3, 0.0).astype(
+    if hint_bhw3 is None:
+        hint_bhw3 = jnp.zeros((b, h, w, 3), jnp.float32)
+    hint_clean = jnp.where(jnp.isfinite(hint_bhw3), hint_bhw3, 0.0).astype(
         jnp.float32
     )
 
     plane_table = jnp.broadcast_to(planes_d[:, None], (D, 128)).astype(
         jnp.float32
     )
-    # (k, W, H*C): x is the matmul contraction dim; lanes are (row-major,
-    # channel-minor) so a band is one contiguous, 128-aligned lane slice
+    # (b, k, W, H*C): x is the matmul contraction dim; lanes are (row-major,
+    # channel-minor) so a band is one contiguous, 128-aligned lane slice.
     # bf16 in HBM/VMEM: the MXU rounds the matmul rhs to bf16 regardless,
     # and fp32 would blow the 16MB VMEM budget (src copy is 5.5MB fp32)
     src_t = (
-        src_feats_khwc.astype(jnp.bfloat16)
-        .transpose(0, 2, 1, 3)
-        .reshape(k, w, h * c)
+        src_feats_bkhwc.astype(jnp.bfloat16)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, k, w, h * c)
     )
 
+    P = PLANES_PER_STEP
+    R = ROWS_PER_STEP
     volume = pl.pallas_call(
-        functools.partial(_kernel, num_views=k, use_hint=use_hint),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(D, h // ROWS_PER_STEP),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((ROWS_PER_STEP, w, c), lambda d, y, *_: (y, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, 1, ROWS_PER_STEP, w),
-                             lambda d, y, *_: (0, d, y, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, 1, ROWS_PER_STEP, w),
-                             lambda d, y, *_: (0, d, y, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ROWS_PER_STEP, w, k),
-                             lambda d, y, *_: (d, y, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ROWS_PER_STEP, w, 3),
-                             lambda d, y, *_: (d, y, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, 1, ROWS_PER_STEP, w, 3),
-                             lambda d, y, *_: (0, d, y, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda d, y, *_: (d // 8, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3 * k), lambda d, y, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ROWS_PER_STEP, w, 3), lambda d, y, *_: (y, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
-            out_specs=pl.BlockSpec((1, ROWS_PER_STEP, w),
-                                   lambda d, y, *_: (d, y, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((k, LANES, h * c), jnp.bfloat16),
-                pltpu.VMEM((k, LANES, CH), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((D, h, w), jnp.float32),
+        functools.partial(_kernel, num_views=k, use_hint=use_hint, h=h),
+        grid=(b, D // P, h // R),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, R, w, c), lambda bi, d, y: (bi, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, P, R, w), lambda bi, d, y: (bi, 0, d, y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, P, R, w), lambda bi, d, y: (bi, 0, d, y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, P, R, w), lambda bi, d, y: (bi, 0, d, y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, R, w, k), lambda bi, d, y: (bi, d, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, R, w, 3), lambda bi, d, y: (bi, d, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, P, R, w, 3),
+                         lambda bi, d, y: (bi, 0, d, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 128), lambda bi, d, y: (d, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * k), lambda bi, d, y: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, w, 3), lambda bi, d, y: (bi, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        out_specs=pl.BlockSpec((1, P, R, w), lambda bi, d, y: (bi, d, y, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((k, LANES, h * c), jnp.bfloat16),
+            pltpu.VMEM((k, LANES, CH), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        out_shape=jax.ShapeDtypeStruct((b, D, h, w), jnp.float32),
         interpret=interpret,
     )(
-        geo["band"],
         src_t,
-        cur_feats_hwc.astype(jnp.float32),
-        geo["ix"], geo["iy"], geo["z"],
+        cur_feats_bhwc.astype(jnp.float32),
+        geo["ix"], geo["iy"], geo["z_khw"], geo["z"],
         geo["cur_rays"], geo["src_rays"],
         plane_table, pose_meta, hint_clean,
         *mlp_weights,

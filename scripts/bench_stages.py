@@ -1,0 +1,197 @@
+"""In-graph marginal stage costs on the real TPU (slope method).
+
+Per PERF_NOTES.md: standalone dispatch timing lies on this platform (fixed
+per-dispatch overhead scales with program size), so each stage is timed as
+d(time)/d(iterations) inside ONE jitted program, chained so XLA cannot
+dead-code or parallelize the repeats, with a hard fetch at the end.
+
+Usage: python scripts/bench_stages.py [cv raycast table integrate forward]
+"""
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _cache():
+    import os
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def _time(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def marginal(make_fn, ks=(1, 4)):
+    """Build fn(k) repeating the stage k times chained; return per-iter cost."""
+    times = {}
+    for k in ks:
+        fn = make_fn(k)
+        times[k] = _time(fn)
+    k0, k1 = ks
+    return (times[k1] - times[k0]) / (k1 - k0), times
+
+
+def bench_cv(use_pallas: bool, use_hint: bool = True):
+    from doubletake_tpu.models.cost_volume import FeatureMeshHintVolume
+
+    h, w, c, k = 96, 128, 16, 7
+    rng = np.random.RandomState(0)
+    cur = jnp.asarray(rng.randn(1, h, w, c), jnp.float32)
+    src = jnp.asarray(rng.randn(1, k, h, w, c), jnp.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (1, k, 1, 1))
+    poses[:, :, 0, 3] = rng.randn(1, k) * 0.1
+    poses[:, :, 2, 3] = rng.randn(1, k) * 0.05
+    src_T_cur = jnp.asarray(poses)
+    cur_T_src = jnp.linalg.inv(src_T_cur)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 64.0
+    K[0, 2], K[1, 2] = w / 2, h / 2
+    Kb = jnp.asarray(np.tile(K, (1, k, 1, 1)))
+    invK = jnp.asarray(np.linalg.inv(K))[None]
+    hint = {
+        "depth_hint_bhw1": jnp.full((1, h, w, 1), 2.0),
+        "hint_mask_bhw1": jnp.ones((1, h, w, 1), bool),
+        "sampled_weights_bhw1": jnp.full((1, h, w, 1), 0.5),
+    }
+
+    vol = FeatureMeshHintVolume(use_pallas=use_pallas)
+    vars_ = vol.init(jax.random.PRNGKey(0), cur, src, src_T_cur, cur_T_src,
+                     Kb, invK, 0.25, 5.0, hint=hint)
+
+    def make_fn(reps):
+        @jax.jit
+        def fn(cur_in):
+            x = cur_in
+            outs = None
+            for _ in range(reps):
+                outs = vol.apply(vars_, x, src, src_T_cur, cur_T_src, Kb,
+                                 invK, 0.25, 5.0, hint=hint)
+                x = x + outs[0][..., :1] * 1e-30  # chain
+            return outs[0]
+
+        return lambda: fn(cur)
+
+    m, times = marginal(make_fn)
+    print(f"cv pallas={use_pallas}: marginal {m*1e3:.1f} ms  (times {times})")
+
+
+def _make_tsdf():
+    from doubletake_tpu.tools.tsdf import TSDF
+
+    return TSDF.from_bounds(
+        dict(xmin=-4.0, xmax=4.0, ymin=-3.0, ymax=3.0, zmin=0.0, zmax=3.0), 0.02
+    )
+
+
+def bench_raycast():
+    from doubletake_tpu.tools.tsdf import raycast
+
+    tsdf = _make_tsdf()
+    # fuse something so rays find crossings
+    tsdf = tsdf.replace(
+        values=tsdf.values.at[:, :, 100:].set(1.0).at[:, :, :100].set(-0.5),
+        weights=tsdf.weights + 0.5,
+    )
+    pose = jnp.eye(4)
+    invK = jnp.asarray(np.linalg.inv(
+        np.array([[64, 0, 64, 0], [0, 64, 48, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+                 np.float32)))
+
+    def make_fn(reps):
+        @jax.jit
+        def fn(vol_vals):
+            t = tsdf.replace(values=vol_vals)
+            d = None
+            for _ in range(reps):
+                d, wt, v = raycast(t, pose, invK, 96, 128, min_depth=0.5,
+                                   max_depth=3.5, num_samples=256)
+                vol_vals = vol_vals + d[0, 0] * 1e-30
+                t = tsdf.replace(values=vol_vals)
+            return d
+
+        return lambda: fn(tsdf.values)
+
+    m, times = marginal(make_fn)
+    print(f"raycast: marginal {m*1e3:.1f} ms  (times {times})")
+
+
+def bench_table():
+    from doubletake_tpu.tools.tsdf import _build_ray_table
+
+    tsdf = _make_tsdf()
+
+    def make_fn(reps):
+        @jax.jit
+        def fn(vals):
+            t = tsdf.replace(values=vals)
+            out = None
+            for _ in range(reps):
+                out, _ = _build_ray_table(t)
+                vals = vals + out.ravel()[0].astype(vals.dtype) * 1e-30
+                t = tsdf.replace(values=vals)
+            return out
+
+        return lambda: fn(tsdf.values)
+
+    m, times = marginal(make_fn)
+    print(f"ray table build: marginal {m*1e3:.1f} ms  (times {times})")
+
+
+def bench_integrate():
+    from doubletake_tpu.tools.tsdf import FusionConfig, integrate_depth
+
+    tsdf = _make_tsdf()
+    cfg = FusionConfig(min_depth=0.5, max_depth=3.5, extended_neg_truncation=True)
+    depth = jnp.full((192, 256, 1), 2.0)
+    K = jnp.asarray(
+        np.array([[128, 0, 128, 0], [0, 128, 96, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+                 np.float32))
+    pose = jnp.eye(4)
+
+    def make_fn(reps):
+        @partial(jax.jit, donate_argnums=(0,))
+        def fn(t):
+            for _ in range(reps):
+                t = integrate_depth(t, depth, pose, K, cfg)
+            return t.values
+
+        return lambda: fn(_make_tsdf())
+
+    m, times = marginal(make_fn)
+    print(f"integrate: marginal {m*1e3:.1f} ms  (times {times})")
+
+
+def main():
+    _cache()
+    which = sys.argv[1:] or ["cv", "raycast", "table", "integrate"]
+    if "cv" in which:
+        bench_cv(use_pallas=True)
+        bench_cv(use_pallas=False)
+    if "cv_pallas" in which:
+        bench_cv(use_pallas=True)
+    if "raycast" in which:
+        bench_raycast()
+    if "table" in which:
+        bench_table()
+    if "integrate" in which:
+        bench_integrate()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,286 @@
+"""Composed full-model parity vs a torch oracle (VERDICT r2 missing #1).
+
+Assembles the per-module torch replicas this suite already owns
+(TorchEffNetV2S from test_backbone_parity, the antialiased matching
+encoder / TorchCVEncoder / TorchDepthDecoderPP from test_checkpoint_convert)
+together with the REFERENCE'S OWN FeatureVolumeManager /
+FeatureMeshHintVolumeManager (imported from /root/reference/src) into one
+full SimpleRecon / DoubleTake torch forward that mirrors
+src/doubletake/experiment_modules/sr_depth_model.py:275-435 exactly:
+
+    rel poses -> encoder 5-scale feats -> matching feats (H/4) ->
+    cost volume at matching res (K_s1) -> CVEncoder(volume, feats[1:]) ->
+    DepthDecoderPP -> exp(log depth s0..s3)
+
+The oracle's weights go through checkpoints/convert.py (the path real
+checkpoints take) and the composed JAX model must reproduce s0 depth at the
+full 512x384 eval resolution. This is the composition certificate the
+per-module tests can't give: feature-pyramid indexing, scale plumbing,
+matching-res intrinsics, hint resize, flip-free eval ordering, log/exp.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from test_backbone_parity import TorchEffNetV2S
+from test_checkpoint_convert import (
+    TorchCVEncoder,
+    TorchDepthDecoderPP,
+    make_torch_matching_encoder,
+    randomize,
+)
+from test_reference_parity import _install_ref
+
+_install_ref()
+
+from doubletake.modules.feature_volume import FeatureVolumeManager  # noqa: E402
+from doubletake.modules.mesh_hint_volume import (  # noqa: E402
+    FeatureMeshHintVolumeManager,
+)
+
+from doubletake_tpu.checkpoints.convert import convert_state_dict  # noqa: E402
+from doubletake_tpu.checkpoints.io import lazy_load_params  # noqa: E402
+from doubletake_tpu.models.depth_model import (  # noqa: E402
+    DepthModel,
+    DepthModelCVHint,
+)
+
+H, W = 384, 512          # eval resolution (BASELINE.md protocol)
+MH, MW = H // 4, W // 4  # matching resolution (matching_scale=1)
+K_VIEWS = 7
+
+
+class TorchOracle(nn.Module):
+    """Full SimpleRecon/DoubleTake forward, reference semantics, eval mode."""
+
+    def __init__(self, use_hint: bool):
+        super().__init__()
+        self.encoder = TorchEffNetV2S()
+        self.matching_net = make_torch_matching_encoder()
+        vol_cls = FeatureMeshHintVolumeManager if use_hint else FeatureVolumeManager
+        # defaults = flagship: 64 bins, MLP [202,128,128,1], 16 ch, 7 views
+        self.cost_volume = vol_cls(MH, MW)
+        self.cost_volume_net = TorchCVEncoder(
+            64, [48, 64, 160, 256], [64, 128, 256, 384]
+        )
+        self.depth_decoder = TorchDepthDecoderPP([24, 64, 128, 256, 384])
+        self.use_hint = use_hint
+
+    def forward(self, cur_image, src_image, src_K, cur_invK,
+                src_cam_T_world, src_world_T_cam,
+                cur_cam_T_world, cur_world_T_cam, hint_dict=None):
+        # sr_depth_model.py:349-359 (eval: no flip)
+        src_cam_T_cur_cam = src_cam_T_world @ cur_world_T_cam.unsqueeze(1)
+        cur_cam_T_src_cam = cur_cam_T_world.unsqueeze(1) @ src_world_T_cam
+
+        cur_feats = self.encoder(cur_image)
+
+        b, k = src_image.shape[:2]
+        all_images = torch.cat([cur_image.unsqueeze(1), src_image], dim=1)
+        mf = self.matching_net(all_images.flatten(0, 1)).unflatten(0, (b, k + 1))
+        matching_cur_feats, matching_src_feats = mf[:, 0], mf[:, 1:].contiguous()
+
+        kwargs = {}
+        if self.use_hint:
+            kwargs["cv_depth_hint_dict"] = hint_dict
+        cost_volume, lowest_cost, _, _ = self.cost_volume(
+            cur_feats=matching_cur_feats,
+            src_feats=matching_src_feats,
+            src_extrinsics=src_cam_T_cur_cam,
+            src_poses=cur_cam_T_src_cam,
+            src_Ks=src_K,
+            cur_invK=cur_invK,
+            min_depth=torch.tensor(0.25).view(1, 1, 1, 1),
+            max_depth=torch.tensor(5.0).view(1, 1, 1, 1),
+            return_mask=False,
+            **kwargs,
+        )
+
+        cv_feats = self.cost_volume_net(cost_volume, cur_feats[1:])
+        feats = list(cur_feats[:1]) + cv_feats
+        outs = self.depth_decoder(feats)
+        return {k2: torch.exp(v) for k2, v in outs.items()}, lowest_cost
+
+
+def _pose(i):
+    ang = 0.04 * i
+    T = np.eye(4, dtype=np.float32)
+    T[0, 0] = T[2, 2] = np.cos(ang)
+    T[0, 2], T[2, 0] = np.sin(ang), -np.sin(ang)
+    T[0, 3] = 0.1 * i
+    T[2, 3] = 0.03 * i
+    return T
+
+
+def _fixture(seed=0, with_hint=False):
+    rng = np.random.RandomState(seed)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 0.58 * W
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    K_s1 = K.copy()
+    K_s1[:2] /= 4.0
+
+    cur_image = rng.randn(1, H, W, 3).astype(np.float32) * 0.5
+    src_image = rng.randn(1, K_VIEWS, H, W, 3).astype(np.float32) * 0.5
+    cur_pose = _pose(0)
+    src_poses = np.stack([_pose(i + 1) for i in range(K_VIEWS)])[None]
+
+    fx = dict(
+        cur_image=cur_image,
+        src_image=src_image,
+        K_s1=np.tile(K_s1, (1, K_VIEWS, 1, 1)),
+        invK_s1=np.linalg.inv(K_s1)[None].astype(np.float32),
+        cur_cam_T_world=cur_pose[None],
+        cur_world_T_cam=np.linalg.inv(cur_pose)[None].astype(np.float32),
+        src_cam_T_world=src_poses,
+        src_world_T_cam=np.linalg.inv(src_poses).astype(np.float32),
+    )
+    if with_hint:
+        hh, hw = H // 2, W // 2   # reference renders hints at half res
+        hint_depth = rng.uniform(0.5, 4.0, (1, hh, hw, 1)).astype(np.float32)
+        hint_mask = (rng.rand(1, hh, hw, 1) > 0.4).astype(np.float32)
+        hint_depth[hint_mask == 0] = np.nan
+        fx["hint_depth"] = hint_depth
+        fx["hint_mask"] = hint_mask
+        fx["hint_weights"] = rng.rand(1, hh, hw, 1).astype(np.float32)
+    return fx
+
+
+def _convert_oracle(oracle: TorchOracle):
+    sd = {}
+    for prefix, mod in (
+        ("encoder", oracle.encoder),
+        ("matching_model.net", oracle.matching_net),
+        ("cost_volume", oracle.cost_volume),
+        ("cost_volume_net", oracle.cost_volume_net),
+        ("depth_decoder", oracle.depth_decoder),
+    ):
+        sd.update({
+            f"{prefix}.{k}": v.detach().numpy()
+            for k, v in mod.state_dict().items()
+        })
+    return convert_state_dict(sd)
+
+
+def _jax_data(fx, with_hint):
+    cur = {
+        "image_bhw3": jnp.asarray(fx["cur_image"]),
+        "cam_T_world_b44": jnp.asarray(fx["cur_cam_T_world"]),
+        "world_T_cam_b44": jnp.asarray(fx["cur_world_T_cam"]),
+        "invK_s1_b44": jnp.asarray(fx["invK_s1"]),
+    }
+    src = {
+        "image_bkhw3": jnp.asarray(fx["src_image"]),
+        "cam_T_world_bk44": jnp.asarray(fx["src_cam_T_world"]),
+        "world_T_cam_bk44": jnp.asarray(fx["src_world_T_cam"]),
+        "K_s1_bk44": jnp.asarray(fx["K_s1"]),
+    }
+    hint = None
+    if with_hint:
+        hint = {
+            "depth_hint_bhw1": jnp.asarray(fx["hint_depth"]),
+            "hint_mask_bhw1": jnp.asarray(fx["hint_mask"] > 0.5),
+            "sampled_weights_bhw1": jnp.asarray(fx["hint_weights"]),
+        }
+    return cur, src, hint
+
+
+def _torch_args(fx, with_hint):
+    def t(x):
+        return torch.from_numpy(np.ascontiguousarray(x))
+
+    args = dict(
+        cur_image=t(fx["cur_image"].transpose(0, 3, 1, 2)),
+        src_image=t(fx["src_image"].transpose(0, 1, 4, 2, 3)),
+        src_K=t(fx["K_s1"]),
+        cur_invK=t(fx["invK_s1"]),
+        src_cam_T_world=t(fx["src_cam_T_world"]),
+        src_world_T_cam=t(fx["src_world_T_cam"]),
+        cur_cam_T_world=t(fx["cur_cam_T_world"]),
+        cur_world_T_cam=t(fx["cur_world_T_cam"]),
+    )
+    if with_hint:
+        args["hint_dict"] = {
+            "depth_hint_b1hw": t(fx["hint_depth"].transpose(0, 3, 1, 2)),
+            "depth_hint_mask_b1hw": t(fx["hint_mask"].transpose(0, 3, 1, 2)),
+            "sampled_weights_b1hw": t(fx["hint_weights"].transpose(0, 3, 1, 2)),
+        }
+    return args
+
+
+def _randomize_oracle(oracle):
+    # effnet/matching self-initialize sensibly; the norm-free CV encoder and
+    # U-Net++ stacks amplify, so keep their weights small (see
+    # test_checkpoint_convert.test_depth_decoder_pp_parity)
+    randomize(oracle.matching_net, seed=10)
+    randomize(oracle.cost_volume, seed=11, scale=0.1)
+    randomize(oracle.cost_volume_net, seed=12, scale=0.03)
+    randomize(oracle.depth_decoder, seed=13, scale=0.01)
+    return oracle
+
+
+def _run_case(with_hint: bool, seed: int):
+    oracle = _randomize_oracle(TorchOracle(use_hint=with_hint)).eval()
+    fx = _fixture(seed, with_hint=with_hint)
+
+    with torch.no_grad():
+        t_out, t_lowest = oracle(**_torch_args(fx, with_hint))
+
+    variables = _convert_oracle(oracle)
+    cls = DepthModelCVHint if with_hint else DepthModel
+    model = cls()
+    cur, src, hint = _jax_data(fx, with_hint)
+    init_vars = jax.jit(model.init)(jax.random.PRNGKey(0), cur, src, hint=hint)
+    merged = lazy_load_params(init_vars, variables)
+
+    # every oracle parameter must have landed somewhere (no silent drops)
+    def count(d):
+        return sum(count(v) if isinstance(v, dict) else 1 for v in d.values())
+
+    assert count(merged["params"]) == count(init_vars["params"])
+
+    j_out = jax.jit(
+        lambda v, c, s: model.apply(v, c, s, hint=hint)
+    )(merged, cur, src)
+
+    # compare log depth (the decoder's native output) at every scale — exp
+    # amplifies coarse-scale magnitudes with random weights and would turn
+    # benign fp drift into overflow artifacts
+    for scale in (0, 1, 2, 3):
+        a = np.log(t_out[f"s{scale}"].numpy().transpose(0, 2, 3, 1))
+        b = np.asarray(j_out[f"log_depth_pred_s{scale}_bhw1"])
+        assert a.shape == b.shape, f"s{scale}: {a.shape} vs {b.shape}"
+        assert np.isfinite(a).all(), f"torch oracle overflowed at s{scale}"
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+        assert rel < 5e-3, f"s{scale} log-depth rel diff {rel}"
+    # s0 absolute depth gate (BASELINE Abs Diff parity is an absolute metric)
+    a0 = t_out["s0"].numpy().transpose(0, 2, 3, 1)
+    b0 = np.asarray(j_out["depth_pred_s0_bhw1"])
+    assert np.abs(a0 - b0).max() < 1e-2, np.abs(a0 - b0).max()
+    assert np.abs(a0 - b0).mean() < 1e-3, np.abs(a0 - b0).mean()
+
+    # cost-volume argmax plane must agree (certifies the volume composition)
+    j_low = np.asarray(j_out["lowest_cost_bhw"])
+    t_low = t_lowest.numpy()
+    assert (np.abs(j_low - t_low) > 1e-5).mean() < 0.01
+
+
+@pytest.mark.slow
+@torch.no_grad()
+def test_composed_simplerecon_matches_torch_oracle():
+    """SimpleRecon composition: efficientnet + resnet matching +
+    mlp_feature_volume + CVEncoder + DepthDecoderPP at 512x384."""
+    _run_case(with_hint=False, seed=0)
+
+
+@pytest.mark.slow
+@torch.no_grad()
+def test_composed_doubletake_matches_torch_oracle():
+    """DoubleTake composition: + hint MLP volume with half-res NaN-coded
+    hints (mirrors test_incremental.py:187-258 hint plumbing)."""
+    _run_case(with_hint=True, seed=1)

@@ -45,26 +45,45 @@ def fixture():
 
 
 @pytest.mark.slow
-def test_fused_volume_matches_xla_path_interpret():
+def test_fused_volume_matches_xla_path_interpret_batched():
+    """Batched (b=2) kernel vs the XLA path — the two batch elements get
+    DIFFERENT poses so per-element geometry, in-kernel band computation,
+    and the per-batch source-matrix DMA are all exercised."""
     curf, srcf, src_T_cur, cur_T_src, src_K, cur_invK = fixture()
+
+    # second batch element: shifted features, different poses
+    rng = np.random.RandomState(7)
+    curf2 = rng.randn(*curf.shape).astype(np.float32)
+    srcf2 = rng.randn(*srcf.shape).astype(np.float32)
+    flip = np.diag([1.0, 1.0, 1.0, 1.0]).astype(np.float32)
+    src_T_cur2 = np.stack([
+        p @ flip for p in src_T_cur
+    ])
+    src_T_cur2[:, 0, 3] *= -1.0  # mirror the translations
+    cur_T_src2 = np.linalg.inv(src_T_cur2).astype(np.float32)
+
+    b_cur = jnp.asarray(np.stack([curf, curf2]))
+    b_src = jnp.asarray(np.stack([srcf, srcf2]))
+    b_sTc = jnp.asarray(np.stack([src_T_cur, src_T_cur2]))
+    b_cTs = jnp.asarray(np.stack([cur_T_src, cur_T_src2]))
+    b_K = jnp.asarray(np.stack([src_K, src_K]))
+    b_invK = jnp.asarray(np.stack([cur_invK, cur_invK]))
+
     model = FeatureVolume(num_depth_bins=D, plane_chunk=4)
-    args = (
-        jnp.asarray(curf)[None], jnp.asarray(srcf)[None],
-        jnp.asarray(src_T_cur)[None], jnp.asarray(cur_T_src)[None],
-        jnp.asarray(src_K)[None], jnp.asarray(cur_invK)[None],
-    )
+    args = (b_cur, b_src, b_sTc, b_cTs, b_K, b_invK)
     params = model.init(jax.random.PRNGKey(1), *args, 0.5, 4.0)
-    vol_ref = np.asarray(model.apply(params, *args, 0.5, 4.0)[0])[0]  # (h,w,D)
+    vol_ref = np.asarray(model.apply(params, *args, 0.5, 4.0)[0])  # (b,h,w,D)
 
     weights = pad_mlp_weights(params["params"]["mlp"])
     vol, _ = fused_feature_volume(
-        jnp.asarray(curf), jnp.asarray(srcf), jnp.asarray(src_T_cur),
-        jnp.asarray(cur_T_src), jnp.asarray(src_K), jnp.asarray(cur_invK),
+        b_cur, b_src, b_sTc, b_cTs, b_K, b_invK,
         0.5, 4.0, weights, num_depth_bins=D, interpret=True,
     )
-    vol = np.asarray(vol).transpose(1, 2, 0)
+    vol = np.asarray(vol).transpose(0, 2, 3, 1)
 
-    diff = np.abs(vol - vol_ref)
-    # bf16 matmul operands bound the accuracy (~1e-2 on O(1) scores)
-    assert diff.mean() < 5e-3, f"mean diff {diff.mean()}"
-    assert np.percentile(diff, 99) < 5e-2, f"p99 {np.percentile(diff, 99)}"
+    for bi in range(2):
+        diff = np.abs(vol[bi] - vol_ref[bi])
+        # bf16 matmul operands bound the accuracy (~1e-2 on O(1) scores)
+        assert diff.mean() < 5e-3, f"b{bi} mean diff {diff.mean()}"
+        assert np.percentile(diff, 99) < 5e-2, \
+            f"b{bi} p99 {np.percentile(diff, 99)}"
