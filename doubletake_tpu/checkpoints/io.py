@@ -17,6 +17,18 @@ import numpy as np
 import jax
 
 
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a pytree to dtype (bf16 inference:
+    the analogue of the reference's fp16 eval, train.py:321)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def save_params(path: str, variables: Dict):
     """Save a variables pytree ({'params', 'batch_stats', ...}) as npz."""
     flat = {}

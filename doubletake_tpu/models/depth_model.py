@@ -64,6 +64,10 @@ class DepthModel(nn.Module):
     max_matching_depth: float = 5.0
     plane_chunk: int = 16
     fast_cost_volume: bool = False
+    # "bfloat16" runs the conv/matmul stacks in bf16 (images cast here,
+    # params cast at load — runners/common._maybe_cast). Outputs are always
+    # fp32. Analogue of the reference's fp16 inference (train.py:321).
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.encoder = get_image_encoder(self.image_encoder_name)
@@ -99,8 +103,9 @@ class DepthModel(nn.Module):
         src_data: dict with "image_bkhw3" (B, k, H, W, 3), "cam_T_world_bk44",
             "world_T_cam_bk44", f"K_s{matching_scale}_bk44".
         """
-        cur_image = cur_data["image_bhw3"]
-        src_image = src_data["image_bkhw3"]
+        dtype = jnp.dtype(self.compute_dtype)
+        cur_image = cur_data["image_bhw3"].astype(dtype)
+        src_image = src_data["image_bkhw3"].astype(dtype)
         src_K = src_data[f"K_s{self.matching_scale}_bk44"]
         cur_invK = cur_data[f"invK_s{self.matching_scale}_b44"]
 

@@ -54,6 +54,7 @@ def build_model(opts: Options):
         max_matching_depth=opts.max_matching_depth,
         plane_chunk=opts.plane_chunk,
         fast_cost_volume=opts.fast_cost_volume,
+        compute_dtype=opts.compute_dtype,
     )
 
 
@@ -70,13 +71,24 @@ def init_or_load_params(opts: Options, model, sample_batch):
     if path and os.path.exists(path):
         from doubletake_tpu.checkpoints.io import load_params
 
-        return load_params(path)
+        return _maybe_cast(opts, load_params(path))
     variables = jax.jit(model.init)(jax.random.PRNGKey(opts.random_seed), cur, src)
     lazy_path = opts.lazy_load_weights_from_checkpoint
     if lazy_path and os.path.exists(lazy_path):
         from doubletake_tpu.checkpoints.io import lazy_load_params, load_params
 
         variables = lazy_load_params(variables, load_params(lazy_path))
+    return _maybe_cast(opts, variables)
+
+
+def _maybe_cast(opts: Options, variables):
+    """bf16 inference: cast params + stats so conv/matmul stacks compute in
+    bf16 (flax dtype promotion; the model casts images at entry). Parity
+    delta measured on TPU — see PERF_NOTES round 3."""
+    if opts.compute_dtype == "bfloat16":
+        from doubletake_tpu.checkpoints.io import cast_floating
+
+        return cast_floating(variables, jnp.bfloat16)
     return variables
 
 

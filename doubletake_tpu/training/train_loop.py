@@ -7,12 +7,15 @@ validation over multiple val sets, checkpointing with resume, and
 TensorBoard scalars.
 
 TPU-native design: data parallelism is a ``jax.sharding.Mesh`` over a
-('data',) axis — the batch is sharded, parameters are replicated, and XLA
-inserts the gradient all-reduce (the analogue of the reference's 2-GPU DDP/
-NCCL, train.py:279-290). Unlike torch DDP, batch-norm statistics are
-computed over the GLOBAL batch (jit semantics), which is strictly more
-correct. bf16 compute is available via opts.compute_dtype (the analogue of
-Lightning precision=16).
+('data',) axis — an explicit shard_map step: the batch is sharded,
+parameters are replicated, and grads/losses/BN running stats are averaged
+in one fused all-reduce (the analogue of the reference's 2-GPU DDP/NCCL,
+train.py:279-290). Batch-norm batch statistics are per-device, matching
+torch DDP semantics (measured vs the single-device global-batch run in
+tests/test_training.py::test_bn_sharding_deviation). bf16 compute
+(opts.compute_dtype, the analogue of Lightning precision=16) applies to
+INFERENCE paths only: training keeps fp32 master params/optimizer state,
+and mixed-precision train steps are future work.
 """
 
 from __future__ import annotations

@@ -177,6 +177,51 @@ def bench_integrate():
     print(f"integrate: marginal {m*1e3:.1f} ms  (times {times})")
 
 
+def bench_forward(compute_dtype="float32", batch=1, compare=False):
+    """Marginal full-model forward cost; optionally the bf16-vs-fp32 s0
+    depth delta (the VERDICT-asked parity measurement)."""
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _example_batch
+    from doubletake_tpu.checkpoints.io import cast_floating
+    from doubletake_tpu.models.depth_model import DepthModelCVHint
+
+    H, W = 384, 512
+    model = DepthModelCVHint(fast_cost_volume=True, compute_dtype=compute_dtype)
+    cur, src = _example_batch(batch, H, W, model.model_num_views)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur, src)
+    if compute_dtype == "bfloat16":
+        variables = cast_floating(variables, jnp.bfloat16)
+
+    def make_fn(reps):
+        @jax.jit
+        def fn(c):
+            out = None
+            for _ in range(reps):
+                out = model.apply(variables, c, src)
+                c = dict(c, image_bhw3=c["image_bhw3"]
+                         + out["depth_pred_s0_bhw1"][:, :1, :1] * 1e-30)
+            return out["depth_pred_s0_bhw1"]
+
+        return lambda: fn(cur)
+
+    m, times = marginal(make_fn)
+    print(f"forward b={batch} {compute_dtype}: marginal {m*1e3:.1f} ms "
+          f"({m*1e3/batch:.1f} ms/map)  (times {times})")
+
+    if compare:
+        model32 = DepthModelCVHint(fast_cost_volume=True)
+        v32 = jax.jit(model32.init)(jax.random.PRNGKey(0), cur, src)
+        d32 = np.asarray(jax.jit(
+            lambda c: model32.apply(v32, c, src)["depth_pred_s0_bhw1"])(cur))
+        dlo = np.asarray(jax.jit(
+            lambda c: model.apply(variables, c, src)["depth_pred_s0_bhw1"])(cur))
+        diff = np.abs(d32 - dlo)
+        rel = diff / np.maximum(np.abs(d32), 1e-6)
+        print(f"bf16 vs fp32 s0 depth: mean |d| {diff.mean():.2e} "
+              f"p99 {np.percentile(diff, 99):.2e} max rel {rel.max():.2e}")
+
+
 def main():
     _cache()
     which = sys.argv[1:] or ["cv", "raycast", "table", "integrate"]
@@ -191,6 +236,14 @@ def main():
         bench_table()
     if "integrate" in which:
         bench_integrate()
+    if "forward" in which:
+        bench_forward()
+    if "forward_bf16" in which:
+        bench_forward("bfloat16", compare=True)
+    if "forward_batch" in which:
+        bench_forward(batch=8)
+    if "forward_batch_bf16" in which:
+        bench_forward("bfloat16", batch=8)
 
 
 if __name__ == "__main__":
