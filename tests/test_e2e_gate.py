@@ -100,3 +100,90 @@ def test_incremental_runner_end_to_end(tmp_path):
     scores = os.path.join(str(tmp_path), "e2e_gate",
                           "incremental_default", "scores")
     assert os.path.exists(os.path.join(scores, "all_frame_avg_metrics.json"))
+
+
+@pytest.mark.slow
+def test_raycast_hints_match_mesh_rasterize_mechanism():
+    """SURVEY §7 cross-validation (VERDICT r2 missing #5): the TSDF-raycast
+    hint mechanism must produce the same information as the reference's
+    marching-cubes -> rasterize pipeline (rendering_utils.py:21-53). Here:
+    fuse GT depths, extract the mesh with the native marching-tetrahedra
+    extension, z-buffer rasterize its depth on host, and compare against
+    raycast() on the same volume from the same camera: depth agreement
+    within ~a voxel and matching validity coverage."""
+    from doubletake_tpu.tools.marching_cubes import tsdf_to_mesh
+
+    H, W = 96, 128
+    ds = SyntheticDataset(split="test", image_height=H, image_width=W,
+                          num_frames=12, include_full_res_depth=True)
+    scan = "synth0"
+    poses = ds.poses(scan)
+    scene = ds.scene(scan)
+
+    bounds = dict(xmin=-3.2, xmax=3.2, ymin=-2.2, ymax=2.2, zmin=-0.1, zmax=3.1)
+    vol = TSDF.from_bounds(bounds, voxel_size=0.04)
+    cfg = FusionConfig(min_depth=0.3, max_depth=5.0,
+                       extended_neg_truncation=True)
+    K = np.asarray(ds.K_image, np.float32)
+    fuse = jax.jit(lambda v, d, c, k: integrate_depth(v, d, c, k, cfg),
+                   donate_argnums=0)
+    for i in range(0, 10, 2):
+        wTc = poses[i]
+        _, depth = scene.render(wTc, K, H, W)
+        vol = fuse(vol, jnp.asarray(depth, jnp.float32)[..., None],
+                   jnp.asarray(np.linalg.inv(wTc), jnp.float32),
+                   jnp.asarray(K, jnp.float32))
+
+    wTc = poses[7]
+    d_ray, w_ray, v_ray = raycast(
+        vol, jnp.asarray(wTc, jnp.float32),
+        jnp.asarray(np.linalg.inv(K), jnp.float32), H, W,
+        min_depth=0.3, max_depth=5.0, num_samples=256,
+    )
+    d_ray, v_ray = np.asarray(d_ray), np.asarray(v_ray)
+
+    # --- reference mechanism: MC mesh + host z-buffer raster ---
+    verts, faces = tsdf_to_mesh(vol)
+    assert len(faces) > 1000, "mesh extraction produced too few faces"
+    # rasterize as a dense point splat (verts + centroids + edge midpoints
+    # give ~3 samples per 4cm triangle vs ~5cm pixel footprint) into a 2x
+    # supersampled z-buffer, then min-pool — a full triangle scanline
+    # rasterizer changes the answer by < the sampling density here
+    tri = verts[faces]                                    # (M, 3, 3)
+    pts = np.concatenate([
+        verts,
+        tri.mean(axis=1),
+        0.5 * (tri[:, 0] + tri[:, 1]),
+        0.5 * (tri[:, 1] + tri[:, 2]),
+        0.5 * (tri[:, 2] + tri[:, 0]),
+    ])
+    cTw = np.linalg.inv(wTc)
+    cam = pts @ cTw[:3, :3].T + cTw[:3, 3]
+    z = cam[:, 2]
+    ok = z > 0.3
+    cam, z = cam[ok], z[ok]
+    ss = 2
+    Kss = K.copy()
+    Kss[:2] *= ss
+    uv = (cam @ Kss[:3, :3].T)
+    u = np.rint(uv[:, 0] / z - 0.5).astype(np.int64)
+    v = np.rint(uv[:, 1] / z - 0.5).astype(np.int64)
+    inside = (u >= 0) & (u < W * ss) & (v >= 0) & (v < H * ss)
+    zbuf = np.full((H * ss, W * ss), np.inf, np.float32)
+    np.minimum.at(zbuf, (v[inside], u[inside]), z[inside].astype(np.float32))
+    zbuf = zbuf.reshape(H, ss, W, ss).min(axis=(1, 3))
+    v_ras = np.isfinite(zbuf)
+
+    # validity coverage must agree (same surfaces seen by both mechanisms)
+    both = v_ray & v_ras
+    assert abs(v_ray.mean() - v_ras.mean()) < 0.12, (
+        f"coverage: raycast {v_ray.mean():.2f} vs raster {v_ras.mean():.2f}"
+    )
+    assert both.mean() > 0.5 * max(v_ray.mean(), v_ras.mean())
+
+    err = np.abs(d_ray[both] - zbuf[both])
+    # same zero-crossing field, different mechanism: ~voxel-size agreement
+    assert np.median(err) < 0.04, f"median |d| {np.median(err):.3f}"
+    assert np.mean(err < 0.12) > 0.85, (
+        f"within-3-voxel fraction {np.mean(err < 0.12):.2f}"
+    )
