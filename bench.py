@@ -1,28 +1,43 @@
 """Benchmark: depth maps/sec/chip at 512x384 through the flagship model.
 
-Measures the incremental-mode device pipeline (hint raycast + DoubleTake
-forward + TSDF fusion, sequentially chained through the TSDF) and prints
-ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measures BOTH production inference modes on one real TPU chip:
+  * incremental (the flagship DoubleTake loop): hint raycast + forward +
+    TSDF fusion, sequentially chained through the volume — latency-bound
+    by the frame->frame dependency;
+  * batched no-hint: b frames through one jitted forward (the
+    offline/two-pass throughput shape; reference analog test_no_hint /
+    pass 1 of test_offline_two_pass).
 
-Methodology notes (see PERF_NOTES.md):
-  * timing is CHAINED (each frame's TSDF feeds the next) and ends with a
-    hard np.asarray fetch — unchained timing on the axon platform reports
-    microseconds regardless of actual work;
-  * this platform charges a large per-dispatch overhead that scales with
-    program size (~1.3 s for the full model), so frames are processed in
-    in-graph groups of FRAMES_PER_DISPATCH — the production pattern for
-    offline/throughput processing. vs_baseline is against the >100
-    maps/sec/chip target from BASELINE.md.
+Before timing, one frame is pushed through BOTH the fused Pallas cost
+volume and the XLA path and the s0 depths compared — every bench run
+doubles as an on-hardware kernel parity gate (fails loudly on drift).
+
+Inputs are a fused synthetic scene (GT depths of 12 posed frames), not
+noise: raycast hit rates, hint validity patterns, and any data-dependent
+branch costs are realistic.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+value = incremental maps/s (continuity with BENCH_r01/r02); extra carries
+the batched throughput and the parity numbers.
+
+Methodology (PERF_NOTES.md): timing is CHAINED with a hard fetch at the
+end; frames are processed in in-graph groups because this platform charges
+a per-dispatch overhead that scales with program size. vs_baseline is
+against the >100 maps/sec/chip target from BASELINE.md.
 """
 
 import json
+import sys
 import time
 from functools import partial
 
 import numpy as np
 
 FRAMES_PER_DISPATCH = 12
-NUM_GROUPS = 2  # warmup group + 2 timed groups = 36 frames total
+NUM_GROUPS = 2
+BATCH = 8
+BATCH_REPS = 4
+PARITY_P99_LIMIT = 5e-2  # meters, s0 depth, fused-vs-XLA volume path
 
 
 def main():
@@ -30,8 +45,6 @@ def main():
 
     import jax
 
-    # persistent compile cache: repeat runs (and driver runs in this
-    # container) skip the multi-minute first compile
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -41,78 +54,167 @@ def main():
 
     import jax.numpy as jnp
 
+    from doubletake_tpu.data.loader import DataLoader
+    from doubletake_tpu.datasets.synthetic import SyntheticDataset
     from doubletake_tpu.models.depth_model import DepthModelCVHint
     from doubletake_tpu.runners import incremental
     from doubletake_tpu.tools.tsdf import TSDF, FusionConfig, integrate_depth, raycast
 
     H, W = 384, 512
     model = DepthModelCVHint(fast_cost_volume=True)
+    model_xla = DepthModelCVHint(fast_cost_volume=False)
 
-    from __graft_entry__ import _example_batch
+    # ---- synthetic scene frames (real images/poses, not noise) ----
+    ds = SyntheticDataset(
+        split="test", image_height=H, image_width=W,
+        num_frames=FRAMES_PER_DISPATCH * (NUM_GROUPS + 1) + 8,
+        tuple_size=model.model_num_views,
+    )
+    loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=4)
+    frames = []
+    for cur_np, src_np in loader:
+        frames.append((cur_np, src_np))
+        if len(frames) >= FRAMES_PER_DISPATCH * (NUM_GROUPS + 1):
+            break
 
-    cur, src = _example_batch(1, H, W, model.model_num_views)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur, src)
+    def dev(d, keys):
+        return {k: jnp.asarray(d[k]) for k in keys if k in d}
 
+    CUR = ("image_bhw3", "cam_T_world_b44", "world_T_cam_b44", "invK_s1_b44",
+           "K_s0_b44", "invK_s0_b44")
+    SRC = ("image_bkhw3", "cam_T_world_bk44", "world_T_cam_bk44", "K_s1_bk44")
+    cur0, src0 = dev(frames[0][0], CUR), dev(frames[0][1], SRC)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur0, src0)
+
+    # ---- initial volume: fuse GT depth of the first 12 frames ----
     tsdf0 = TSDF.from_bounds(
-        dict(xmin=-4.0, xmax=4.0, ymin=-3.0, ymax=3.0, zmin=0.0, zmax=3.0), 0.02
+        dict(xmin=-3.2, xmax=3.2, ymin=-2.2, ymax=2.2, zmin=-0.1, zmax=3.1),
+        0.02,
     )
     cfg = FusionConfig(min_depth=0.5, max_depth=3.5, extended_neg_truncation=True)
+    fuse_gt = jax.jit(
+        lambda v, d, c, k: integrate_depth(v, d, c, k, cfg), donate_argnums=0
+    )
+    for cur_np, _ in frames[:12]:
+        tsdf0 = fuse_gt(
+            tsdf0,
+            jnp.asarray(np.nan_to_num(cur_np["depth_bhw1"][0])),
+            jnp.asarray(cur_np["cam_T_world_b44"][0]),
+            jnp.asarray(cur_np["K_s0_b44"][0]),
+        )
 
     hint_h, hint_w = H // 4, W // 4  # matching res (see runners/incremental.py)
 
-    def one_frame(tsdf, image):
-        c = dict(cur)
-        c["image_bhw3"] = image[None]
+    def make_hint(tsdf, cur):
         hint_d, hint_wt, hint_v = raycast(
-            tsdf, c["world_T_cam_b44"][0], c["invK_s0_b44"][0],
+            tsdf, cur["world_T_cam_b44"][0], cur["invK_s0_b44"][0],
             hint_h, hint_w, min_depth=0.5, max_depth=3.5, num_samples=256,
         )
         valid = hint_v & (hint_wt >= incremental.HINT_WEIGHT_THRESHOLD)
-        hint = {
+        return {
             "depth_hint_bhw1": jnp.where(valid, hint_d, jnp.nan)[None, ..., None],
             "hint_mask_bhw1": valid[None, ..., None],
             "sampled_weights_bhw1": jnp.where(valid, hint_wt, 0.0)[None, ..., None],
         }
-        out = model.apply(variables, c, src, hint=hint)
+
+    # ---- hardware parity gate: fused Pallas vs XLA volume path ----
+    @jax.jit
+    def parity_pair(tsdf, cur, src):
+        hint = make_hint(tsdf, cur)
+        d_fast = model.apply(variables, cur, src, hint=hint)["depth_pred_s0_bhw1"]
+        d_slow = model_xla.apply(variables, cur, src, hint=hint)["depth_pred_s0_bhw1"]
+        return d_fast, d_slow, hint["hint_mask_bhw1"]
+
+    d_fast, d_slow, hint_mask = parity_pair(tsdf0, cur0, src0)
+    diff = np.abs(np.asarray(d_fast) - np.asarray(d_slow))
+    parity_p99 = float(np.percentile(diff, 99))
+    parity_mean = float(diff.mean())
+    hint_coverage = float(np.asarray(hint_mask).mean())
+    if parity_p99 > PARITY_P99_LIMIT:
+        print(json.dumps({
+            "metric": "PARITY FAILURE: fused Pallas vs XLA s0 depth p99 (m)",
+            "value": parity_p99, "unit": "m", "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
+
+    # ---- incremental mode: chained raycast -> forward -> fuse ----
+    def one_frame(tsdf, cur, src):
+        hint = make_hint(tsdf, cur)
+        out = model.apply(variables, cur, src, hint=hint)
         depth = out["depth_pred_s0_bhw1"]
         tsdf = integrate_depth(
-            tsdf, depth[0], c["cam_T_world_b44"][0], c["K_s0_b44"][0], cfg
+            tsdf, depth[0], cur["cam_T_world_b44"][0], cur["K_s0_b44"][0], cfg
         )
         return tsdf, depth
 
     @partial(jax.jit, donate_argnums=(0,))
-    def frame_group(tsdf, images):
+    def frame_group(tsdf, curs, srcs):
         depth = None
         for f in range(FRAMES_PER_DISPATCH):
-            tsdf, depth = one_frame(tsdf, images[f])
+            cur = {k: v[f] for k, v in curs.items()}
+            src = {k: v[f] for k, v in srcs.items()}
+            tsdf, depth = one_frame(tsdf, cur, src)
         return tsdf, depth
 
-    rng = np.random.RandomState(1)
-    groups = [
-        jnp.asarray(rng.randn(FRAMES_PER_DISPATCH, H, W, 3).astype(np.float32))
-        for _ in range(NUM_GROUPS + 1)
-    ]
+    def stack_group(i0):
+        """Frames i0..i0+F as (F, 1, ...) arrays — frame-major, batch 1."""
+        group = frames[i0: i0 + FRAMES_PER_DISPATCH]
+        curs = {k: jnp.asarray(np.stack([f[0][k] for f in group])) for k in CUR}
+        srcs = {k: jnp.asarray(np.stack([f[1][k] for f in group])) for k in SRC}
+        return curs, srcs
 
-    # warm up / compile
-    tsdf, depth = frame_group(tsdf0, groups[-1])
+    groups = [stack_group(i * FRAMES_PER_DISPATCH)
+              for i in range(NUM_GROUPS + 1)]
+
+    tsdf, depth = frame_group(tsdf0, *groups[-1])  # warmup/compile
     np.asarray(depth[0, 0, 0, 0])
 
     t0 = time.perf_counter()
     n = 0
     for g in groups[:NUM_GROUPS]:
-        tsdf, depth = frame_group(tsdf, g)
+        tsdf, depth = frame_group(tsdf, *g)
         n += FRAMES_PER_DISPATCH
     np.asarray(depth[0, 0, 0, 0])
     np.asarray(tsdf.values[0, 0, 0])
     dt = time.perf_counter() - t0
+    incremental_mps = n / dt
 
-    maps_per_sec = n / dt
+    # ---- batched no-hint throughput (offline/two-pass shape) ----
+    bloader = DataLoader(ds, batch_size=BATCH, shuffle=False, num_workers=4)
+    bcur_np, bsrc_np = next(iter(bloader))
+    bcur, bsrc = dev(bcur_np, CUR), dev(bsrc_np, SRC)
+
+    @jax.jit
+    def batched_forward(cur):
+        out = None
+        for _ in range(BATCH_REPS):
+            out = model.apply(variables, cur, bsrc)
+            cur = dict(cur, image_bhw3=cur["image_bhw3"]
+                       + out["depth_pred_s0_bhw1"][:, :1, :1] * 1e-30)
+        return out["depth_pred_s0_bhw1"]
+
+    d = batched_forward(bcur)
+    np.asarray(d[0, 0, 0, 0])  # warmup
+    t0 = time.perf_counter()
+    d = batched_forward(bcur)
+    np.asarray(d[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    batched_mps = BATCH * BATCH_REPS / dt
+
     target = 100.0  # BASELINE.md: >100 depth maps/sec/chip at 512x384
     print(json.dumps({
         "metric": "depth maps/sec/chip (incremental pipeline, 512x384)",
-        "value": round(maps_per_sec, 2),
+        "value": round(incremental_mps, 2),
         "unit": "maps/s",
-        "vs_baseline": round(maps_per_sec / target, 3),
+        "vs_baseline": round(incremental_mps / target, 3),
+        "extra": {
+            "batched_no_hint_maps_per_sec": round(batched_mps, 2),
+            "batch": BATCH,
+            "pallas_vs_xla_s0_depth_p99_m": round(parity_p99, 5),
+            "pallas_vs_xla_s0_depth_mean_m": round(parity_mean, 6),
+            "hint_coverage": round(hint_coverage, 3),
+            "frames_per_dispatch": FRAMES_PER_DISPATCH,
+        },
     }))
 
 

@@ -75,19 +75,27 @@ CH = 16             # matching feature channels
 MLP_IN_PAD = 256    # 202-channel MLP input padded to a lane multiple
 
 
+def _meta_offsets(k: int):
+    """Channel offsets inside the packed per-pixel metadata rows:
+    [z (k), cur_ray xyz (3), src_ray xyz per view (3k), ray angle (k)]."""
+    return dict(z=0, cur_ray=k, src_rays=k + 3, angles=4 * k + 3,
+                total=5 * k + 3)
+
+
 def _precompute_geometry(
     src_K_k44, src_cam_T_cur_cam_k44, cur_cam_T_src_cam_k44, cur_invK_44,
     planes_d, h, w,
 ):
     """All per-(view, plane, pixel) geometry, elementwise in XLA.
 
-    Layouts are chosen for Mosaic-friendly blocks (w second-to-last or
-    last; small trailing dims equal to the full array dim):
-      ix, iy      (k, D, h, w) fp32
-      z_khw       (k, D, h, w) fp32 (row layout: in-kernel band + masks)
-      z           (D, h, w, k) fp32 (all views as trailing metadata columns)
-      cur_rays    (D, h, w, 3)
-      src_rays    (k, D, h, w, 3)
+    Everything is ROW layout (w is the minor dim) — TPU tiles the last two
+    dims at (8, 128), so any layout with a small minor dim (rays as (..., 3),
+    z as (..., k)) is lane-padded up to 42x in VMEM, which blows the scoped
+    budget at multi-plane block sizes (measured: 76M requested vs 16M).
+      ix, iy       (k, D, h, w) fp32
+      meta_rows    (D, h, C_M, w) fp32 — packed per-pixel metadata channels
+                   (_meta_offsets); the kernel transposes one (C_M, w) slab
+                   to columns with a single identity matmul per output row.
     """
     k = src_K_k44.shape[0]
     d = planes_d.shape[0]
@@ -116,18 +124,26 @@ def _precompute_geometry(
 
     ix = ix.reshape(k, d, h, w)
     iy = iy.reshape(k, d, h, w)
-    z_khw = z.reshape(k, d, h, w)
-    z_dhwk = z_khw.transpose(1, 2, 3, 0)
+    z_dkhw = z.reshape(k, d, h, w).transpose(1, 0, 2, 3)  # (D, k, h, w)
 
-    cur_rays = normalize_vectors(pts_d3n, axis=1)       # (D, 3, N)
-    cur_rays = cur_rays.reshape(d, 3, h, w).transpose(0, 2, 3, 1)  # (D,h,w,3)
+    cur_rays = normalize_vectors(pts_d3n, axis=1)          # (D, 3, N)
     centers_k3 = cur_cam_T_src_cam_k44[:, :3, 3]
     src_rays = normalize_vectors(
         pts_d3n[None] - centers_k3[:, None, :, None], axis=2
-    ).reshape(k, d, 3, h, w).transpose(0, 1, 3, 4, 2)   # (k, D, h, w, 3)
+    )                                                      # (k, D, 3, N)
+    angles = jnp.sum(cur_rays[None] * src_rays, axis=2)    # (k, D, N)
 
-    return dict(ix=ix, iy=iy, z_khw=z_khw, z=z_dhwk, cur_rays=cur_rays,
-                src_rays=src_rays)
+    meta_rows = jnp.concatenate(
+        [
+            z_dkhw,                                                  # k
+            cur_rays.reshape(d, 3, h, w),                            # 3
+            src_rays.transpose(1, 0, 2, 3).reshape(d, 3 * k, h, w),  # 3k
+            angles.transpose(1, 0, 2).reshape(d, k, h, w),           # k
+        ],
+        axis=1,
+    ).transpose(0, 2, 1, 3)                                # (D, h, C_M, w)
+
+    return dict(ix=ix, iy=iy, meta_rows=meta_rows)
 
 
 def _leaky(x):
@@ -136,21 +152,28 @@ def _leaky(x):
 
 def _process_row(
     sub, p, plane_depth, consts, src_vmem,
-    cur_feats_ref, ix_ref, iy_ref, zk_ref, z_ref, cur_rays_ref, src_rays_ref,
+    cur_feats_ref, ix_ref, iy_ref, meta_ref,
     pose_meta_ref, hint_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref, out_ref,
     warp_scratch, k, use_hint, h,
 ):
     W, C = LANES, CH
     identity, u_iota_r, r_iota, expand_E, fold_F = consts
+    off = _meta_offsets(k)
     cur_row = cur_feats_ref[0, sub]                     # (W, C)
-    z_cols = z_ref[0, p, sub]                           # (W, k)
+    meta_slab = meta_ref[0, p, sub]                     # (C_M, W) rows
+    # one transpose matmul turns ALL per-pixel metadata rows into columns
+    meta_cols = jax.lax.dot_general(
+        identity, meta_slab, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (W, C_M)
+    z_cols = meta_cols[:, off["z"]: off["z"] + k]       # (W, k)
     mask_cols = (z_cols > 0).astype(jnp.float32)        # (W, k)
 
     def view_body(ki, _):
         ix_row = ix_ref[0, pl.ds(ki, 1), p, sub]        # (1, W)
         iy_row = iy_ref[0, pl.ds(ki, 1), p, sub]
-        z_row = zk_ref[0, pl.ds(ki, 1), p, sub]
+        z_row = meta_ref[0, p, sub, pl.ds(ki, 1)]       # (1, W): z channel ki
 
         # source-row band start for this (view, plane, row): pixels that can
         # actually contribute are in front of the camera and sample inside
@@ -217,7 +240,6 @@ def _process_row(
     ]
 
     # ---- metadata assembly (lane concat), exact reference channel order ----
-    cur_rays = cur_rays_ref[0, p, sub]                  # (W, 3)
     pieces = []
     pieces.extend(warps)                                # k * C
     pieces.append(cur_row)                              # C
@@ -225,12 +247,12 @@ def _process_row(
     pieces.append(z_cols)                               # k
     pieces.append(jnp.full((W, 1), plane_depth))        # 1
     pieces.extend(dots)                                 # k
-    for ki in range(k):                                 # ray angles: k
-        sr = src_rays_ref[0, ki, p, sub]                # (W, 3)
-        pieces.append((cur_rays * sr).sum(axis=1, keepdims=True))
-    pieces.append(cur_rays)                             # 3 (cur rays first)
-    for ki in range(k):                                 # 3k (src rays)
-        pieces.append(src_rays_ref[0, ki, p, sub])
+    a0 = off["angles"]
+    pieces.append(meta_cols[:, a0: a0 + k])             # ray angles: k
+    c0 = off["cur_ray"]
+    pieces.append(meta_cols[:, c0: c0 + 3])             # 3 (cur rays first)
+    s0 = off["src_rays"]
+    pieces.append(meta_cols[:, s0: s0 + 3 * k])         # 3k (src rays)
     pose_meta = pose_meta_ref[0:1, :]                   # (1, 3k)
     pieces.append(jnp.broadcast_to(pose_meta, (W, pose_meta.shape[1])))
 
@@ -271,8 +293,8 @@ def _process_row(
 
 
 def _kernel(
-    src_t_ref, cur_feats_ref, ix_ref, iy_ref, zk_ref, z_ref,
-    cur_rays_ref, src_rays_ref, plane_ref, pose_meta_ref, hint_ref,
+    src_t_ref, cur_feats_ref, ix_ref, iy_ref, meta_ref,
+    plane_ref, pose_meta_ref, hint_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
     out_ref, src_vmem, warp_scratch, copy_sem, *, num_views: int,
@@ -317,8 +339,7 @@ def _kernel(
         for sub in range(ROWS_PER_STEP):
             _process_row(
                 sub, p, plane_depth, consts, src_vmem,
-                cur_feats_ref, ix_ref, iy_ref, zk_ref, z_ref,
-                cur_rays_ref, src_rays_ref,
+                cur_feats_ref, ix_ref, iy_ref, meta_ref,
                 pose_meta_ref, hint_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                 hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
@@ -403,6 +424,7 @@ def fused_feature_volume(
         )
     )(src_K_bk44, src_cam_T_cur_cam_bk44, cur_cam_T_src_cam_bk44,
       cur_invK_b44)
+    c_meta = _meta_offsets(k)["total"]
 
     pd, rm, tm = pose_distance(cur_cam_T_src_cam_bk44.reshape(b * k, 4, 4))
     pose_meta = jnp.concatenate(
@@ -441,14 +463,8 @@ def fused_feature_volume(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, P, R, w), lambda bi, d, y: (bi, 0, d, y, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, P, R, w), lambda bi, d, y: (bi, 0, d, y, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, R, w, k), lambda bi, d, y: (bi, d, y, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, R, w, 3), lambda bi, d, y: (bi, d, y, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, P, R, w, 3),
-                         lambda bi, d, y: (bi, 0, d, y, 0, 0),
+            pl.BlockSpec((1, P, R, c_meta, w),
+                         lambda bi, d, y: (bi, d, y, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 128), lambda bi, d, y: (d, 0),
                          memory_space=pltpu.VMEM),
@@ -468,8 +484,7 @@ def fused_feature_volume(
     )(
         src_t,
         cur_feats_bhwc.astype(jnp.float32),
-        geo["ix"], geo["iy"], geo["z_khw"], geo["z"],
-        geo["cur_rays"], geo["src_rays"],
+        geo["ix"], geo["iy"], geo["meta_rows"],
         plane_table, pose_meta, hint_clean,
         *mlp_weights,
     )

@@ -161,8 +161,23 @@ def run(opts: Options, variables=None):
 
         scan_metrics = ResultsAverager(opts.name, f"scan {scan_id}")
         frame_idx = 0
-        for cur_np, src_np in loader:
-            cur, src = common.device_batch(cur_np, src_np)
+        frames = iter(loader)
+
+        def fetch():
+            """Pull the next host batch and START its async host->device
+            transfer (jax device transfers are asynchronous) so input feed
+            overlaps the in-flight frame's device compute — the dispatch
+            overhead on this platform otherwise serializes with compute
+            (PERF_NOTES round 2/3)."""
+            try:
+                cur_np, src_np = next(frames)
+            except StopIteration:
+                return None
+            return cur_np, src_np, common.device_batch(cur_np, src_np)
+
+        pending = fetch()
+        while pending is not None:
+            cur_np, src_np, (cur, src) = pending
             if variables is None:
                 variables = common.init_or_load_params(opts, model, (cur_np, src_np))
 
@@ -179,8 +194,11 @@ def run(opts: Options, variables=None):
                 t2 = time.perf_counter()
                 tsdf = fuse_step(tsdf, out, cur)
                 split_times = {"hint_time": t1 - t0, "model_time": t2 - t1}
+                pending = fetch()
             else:
                 out, hint, tsdf = step(variables, tsdf, cur, src)
+                # prefetch the NEXT frame while this one runs on device
+                pending = fetch()
             depth = out["depth_pred_s0_bhw1"]
             depth.block_until_ready()
             frame_time = time.perf_counter() - t0

@@ -270,60 +270,67 @@ def sample_tsdf(tsdf: TSDF, world_points_n3, what: str = "tsdf", method: str = "
 def _build_ray_table(tsdf: TSDF):
     """Pack (values, weights) into a gather-friendly row table.
 
-    One row per (x, y, z-block-of-4): that column's values and weights over
-    8 consecutive z levels starting at 4*zb. Row layout (16 bf16 lanes):
-      [v(8) w(8)]
+    Logical unit: a 32-lane bf16 block per (x, y, z-block-of-4) holding
+    that column's values and weights over 8 consecutive z levels starting
+    at 4*zb, for both x and its +1 neighbor:
+      [v_x0(8) w_x0(8) v_x1(8) w_x1(8)]
     A trilinear sample whose floor cell is (x0, y0, z0 in [4*zb, 4*zb+3])
-    gathers its four xy-corner rows — z interpolation lives inside each row.
+    gathers its two y-corner rows — z and x interpolation live inside the
+    block. FOUR consecutive z-blocks are packed per physical 128-lane row
+    (a pure reshape): TPU HBM arrays are (8, 128)-tiled, so a 32-lane-minor
+    table would be lane-padded 4x and the per-frame full-volume rebuild —
+    the dominant raycast cost — would write 4x the bytes. The sampler
+    selects the 32-lane segment by lane arithmetic (lane//32 == zblk%4).
 
     Why rows at all: per-sample scalar gathers serialize on this TPU (the
     width-1 gather path is ~3.5x slower than row gathers and trilinear
-    would need 8 of them — see PERF_NOTES.md). Why 4 narrow rows instead of
-    one 64-lane row with the xy-neighborhood baked in: the repack itself is
-    a full-volume pass, and the 4x lane duplication made it the dominant
-    raycast cost (~40 ms/frame); the 16-lane table is 4x cheaper to build
-    while the extra gathers add only a few ms.
+    would need 8 of them — see PERF_NOTES.md). Why the x pair is baked into
+    the block: x-neighbor rows are Y*zb rows apart in HBM (far, latency-
+    bound) while y-neighbor rows are adjacent, so two near gathers replace
+    four far ones.
+
+    Returns (table (X*Y*(zbp//4), 128) bf16, zbp) with zbp the padded
+    z-block count (multiple of 4).
     """
     X, Y, Z = tsdf.dims
     zb = -(-max(Z - 1, 1) // 4)  # blocks covering z0 in [0, Z-2]
-    zpad = zb * 4 + 4
+    zbp = -(-zb // 4) * 4        # 4 blocks per 128-lane physical row
+    zpad = zbp * 4 + 4
 
     def blocks(vol):
         v = jnp.pad(vol, ((0, 0), (0, 0), (0, zpad - Z))).astype(jnp.bfloat16)
-        lo = v[:, :, : zb * 4].reshape(X, Y, zb, 4)
-        hi = v[:, :, 4: zb * 4 + 4].reshape(X, Y, zb, 4)
-        return jnp.concatenate([lo, hi], axis=-1)  # (X, Y, zb, 8)
+        lo = v[:, :, : zbp * 4].reshape(X, Y, zbp, 4)
+        hi = v[:, :, 4: zbp * 4 + 4].reshape(X, Y, zbp, 4)
+        return jnp.concatenate([lo, hi], axis=-1)  # (X, Y, zbp, 8)
 
     v8, w8 = blocks(tsdf.values), blocks(tsdf.weights)
-    vw = jnp.concatenate([v8, w8], axis=-1)  # (X, Y, zb, 16)
-    # pack the (x0, x1) pair into one row. Row-gather cost here is HBM
-    # latency on *far* rows: x-neighbor rows are Y*zb rows apart (~370 KB)
-    # while y-neighbor rows are zb rows apart (~1 KB, near-sequential), so
-    # baking the far pair into the row leaves only two cheap local gathers
-    # per trilinear sample.
+    vw = jnp.concatenate([v8, w8], axis=-1)  # (X, Y, zbp, 16)
     x1 = jnp.pad(vw[1:], ((0, 1), (0, 0), (0, 0), (0, 0)))
-    table = jnp.concatenate([vw, x1], axis=-1)  # (X, Y, zb, 32)
-    return table.reshape(X * Y * zb, 32), zb
+    table = jnp.concatenate([vw, x1], axis=-1)  # (X, Y, zbp, 32)
+    return table.reshape(X * Y * (zbp // 4), 128), zbp
 
 
-def _trilinear_from_rows(corner_rows, fx, fy, fz, zoff):
+def _trilinear_from_rows(corner_rows, fx, fy, fz, zoff, seg):
     """Trilinear (value, weight) from two packed corner rows.
 
-    corner_rows: (rows_y0, rows_y1), each (N, 32) laid out
-    [v_x0(8) w_x0(8) v_x1(8) w_x1(8)]; fx/fy/fz fractional parts;
-    zoff = z0 - 4*zb in [0, 3].
+    corner_rows: (rows_y0, rows_y1), each (N, 128) = four 32-lane z-block
+    segments, each laid out [v_x0(8) w_x0(8) v_x1(8) w_x1(8)]; fx/fy/fz
+    fractional parts; zoff = z0 - 4*zblk in [0, 3]; seg = zblk % 4 selects
+    the live segment.
     """
-    lanes = jnp.arange(32, dtype=jnp.int32)
+    lanes = jnp.arange(128, dtype=jnp.int32)
     zl = lanes % 8
-    grp = lanes // 8          # 0: v@x0, 1: w@x0, 2: v@x1, 3: w@x1
+    grp = (lanes // 8) % 4    # 0: v@x0, 1: w@x0, 2: v@x1, 3: w@x1
+    blk = lanes // 32         # which z-block segment of the physical row
     is_weight = (grp % 2) == 1
     is_x1 = grp >= 2
 
     zo = zoff[:, None]
+    live = blk[None] == seg[:, None]
     wz = (
         jnp.where(zl[None] == zo, 1.0 - fz[:, None], 0.0)
         + jnp.where(zl[None] == zo + 1, fz[:, None], 0.0)
-    )
+    ) * live
     wx = jnp.where(is_x1[None], fx[:, None], (1.0 - fx)[:, None])
     val = 0.0
     wt = 0.0
@@ -409,7 +416,8 @@ def raycast(
     zs = t_enter[None] + u[:, None] * (t_exit - t_enter)[None]   # (Sc, N)
     dz = (t_exit - t_enter) / (Sc - 1)                           # (N,)
 
-    table, zb = _build_ray_table(tsdf)
+    table, zbp = _build_ray_table(tsdf)
+    zrows = zbp // 4  # physical rows per (x, y) column
 
     def sample(zs_flat):
         """Trilinear (tsdf, weight) at depths zs_flat (per-pixel tiled N)."""
@@ -424,16 +432,16 @@ def raycast(
         f = v - v0
         i = v0.astype(jnp.int32)
         zblk = i[:, 2] // 4
-        # two y-corner rows, each packing the (x0, x1) far-neighbor pair;
-        # the clip above guarantees y0+1 <= Y-1 and the table pads x+1
-        # with zeros past the last x
-        base = (i[:, 0] * Y + i[:, 1]) * zb + zblk
+        # two y-corner rows, each packing the (x0, x1) far-neighbor pair
+        # and 4 z-block segments; the clip above guarantees y0+1 <= Y-1
+        # and the table pads x+1 with zeros past the last x
+        base = (i[:, 0] * Y + i[:, 1]) * zrows + zblk // 4
         rows = (
             jnp.take(table, base, axis=0),
-            jnp.take(table, base + zb, axis=0),
+            jnp.take(table, base + zrows, axis=0),
         )
         return _trilinear_from_rows(
-            rows, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4
+            rows, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4, zblk % 4
         )
 
     # ---- coarse pass: bracket the first crossing ----
