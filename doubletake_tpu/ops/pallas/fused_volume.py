@@ -65,11 +65,15 @@ from doubletake_tpu.utils.geometry import (
 
 _PREC = jax.lax.Precision.HIGHEST
 
-BAND = 32           # source-row band height per output row
-ROWS_PER_STEP = 8   # output rows per grid step (block alignment)
-PLANES_PER_STEP = 8  # depth planes per grid step: amortizes the ~50 us
-                     # fixed per-step cost measured on this platform
-                     # (PERF_NOTES round 2; grid 768 -> 96 steps/sample)
+BAND = 40           # source-row band height per 8-row block (shared band:
+                    # 8 alignment + 8 block rows + 2 interp + 22 rows of
+                    # in-block sampling spread — comparable safety margin to
+                    # the round-2 per-row 32-band)
+ROWS_PER_STEP = 8   # output rows per grid step (processed as ONE stacked
+                    # (R*W, ...) matmul chain: the per-row formulation was
+                    # matmul-ISSUE-bound at ~280k small matmuls/frame)
+PLANES_PER_STEP = 8  # depth planes per grid step: amortizes the per-step
+                     # fixed cost (grid 768 -> 96 steps/sample)
 LANES = 128         # matching width (one output row per lane vector)
 CH = 16             # matching feature channels
 MLP_IN_PAD = 256    # 202-channel MLP input padded to a lane multiple
@@ -150,91 +154,118 @@ def _leaky(x):
     return jnp.where(x >= 0, x, 0.01 * x)
 
 
-def _process_row(
-    sub, p, plane_depth, consts, src_vmem,
+def _process_rowblock(
+    p, plane_depth, consts, src_vmem,
     cur_feats_ref, ix_ref, iy_ref, meta_ref,
     pose_meta_ref, hint_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref, out_ref,
     warp_scratch, k, use_hint, h,
 ):
-    W, C = LANES, CH
+    """One (plane, 8-row block): warp + metadata + MLPs for all R rows as
+    stacked (R*W, ...) matmuls. The per-row formulation issued ~46 small
+    matmuls per plane-row (~280k/frame) and was instruction-issue-bound;
+    stacking rows keeps the FLOPs but cuts the instruction count ~8x and
+    feeds the MXU (1024, 640)-class shapes it can pipeline."""
+    W, C, R = LANES, CH, ROWS_PER_STEP
+    RW = R * W
     identity, u_iota_r, r_iota, expand_E, fold_F = consts
     off = _meta_offsets(k)
-    cur_row = cur_feats_ref[0, sub]                     # (W, C)
-    meta_slab = meta_ref[0, p, sub]                     # (C_M, W) rows
-    # one transpose matmul turns ALL per-pixel metadata rows into columns
-    meta_cols = jax.lax.dot_general(
-        identity, meta_slab, (((1,), (1,)), ((), ())),
+
+    # current-view features, rows stacked: (RW, C)
+    cur_cols = jnp.concatenate(
+        [cur_feats_ref[0, sub] for sub in range(R)], axis=0
+    )
+
+    # ALL metadata rows -> columns in ONE transpose matmul: stack the R
+    # (C_M, W) slabs along sublanes, transpose, then re-stack per row
+    meta_slabs = jnp.concatenate(
+        [meta_ref[0, p, sub] for sub in range(R)], axis=0
+    )                                                   # (R*C_M, W)
+    c_m = meta_slabs.shape[0] // R
+    meta_cols_w = jax.lax.dot_general(
+        identity, meta_slabs, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                   # (W, C_M)
-    z_cols = meta_cols[:, off["z"]: off["z"] + k]       # (W, k)
-    mask_cols = (z_cols > 0).astype(jnp.float32)        # (W, k)
+    )                                                   # (W, R*C_M)
+    meta_cols = jnp.concatenate(
+        [meta_cols_w[:, r * c_m:(r + 1) * c_m] for r in range(R)], axis=0
+    )                                                   # (RW, C_M)
+    z_cols = meta_cols[:, off["z"]: off["z"] + k]       # (RW, k)
+    mask_cols = (z_cols > 0).astype(jnp.float32)
 
     def view_body(ki, _):
-        ix_row = ix_ref[0, pl.ds(ki, 1), p, sub]        # (1, W)
-        iy_row = iy_ref[0, pl.ds(ki, 1), p, sub]
-        z_row = meta_ref[0, p, sub, pl.ds(ki, 1)]       # (1, W): z channel ki
+        ix_rows = ix_ref[0, pl.ds(ki, 1), p][0]         # (R, W)
+        iy_rows = iy_ref[0, pl.ds(ki, 1), p][0]
+        z_rows = meta_ref[0, p, :, pl.ds(ki, 1)][:, 0]  # (R, W): z channel ki
 
-        # source-row band start for this (view, plane, row): pixels that can
+        # shared source-row band for the whole 8-row block: pixels that can
         # actually contribute are in front of the camera and sample inside
         # (or touching) the image — behind-camera pixels produce garbage
         # coordinates that must not drag the band away. Aligned DOWN to 8
         # rows so the (W, H*C) lane slice below is 128-aligned.
-        v0_row = jnp.floor(iy_row)
-        contributes = (z_row > 0) & (v0_row + 1 >= 0) & (v0_row <= h - 1)
-        vmin = jnp.min(jnp.where(contributes, v0_row, jnp.inf))
+        v0_rows = jnp.floor(iy_rows)
+        contributes = (z_rows > 0) & (v0_rows + 1 >= 0) & (v0_rows <= h - 1)
+        vmin = jnp.min(jnp.where(contributes, v0_rows, jnp.inf))
         vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
         band0 = jnp.clip(
             ((vmin.astype(jnp.int32) - 1) // 8) * 8, 0, h - BAND
         )
 
-        # transpose ix to a column via one identity matmul, then build the
-        # x-interp one-hot STRAIGHT (out-x rows, u lanes): a dim-0-contracted
-        # dot_general would force Mosaic to transpose the operand every
-        # view-row (measured ~40% of kernel time)
-        ix_col = jax.lax.dot_general(
-            identity, ix_row, (((1,), (1,)), ((), ())),
+        # ONE transpose matmul for both coordinate sets of all R rows
+        # (a dim-0-contracted dot_general would force Mosaic to transpose
+        # the operand per call — measured ~40% of kernel time in round 1)
+        xy_cols = jax.lax.dot_general(
+            identity, jnp.concatenate([ix_rows, iy_rows], axis=0),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                               # (W, 1)
-        x0_col = jnp.floor(ix_col)
-        wx_col = ix_col - x0_col
-        Wx = (
-            jnp.where(u_iota_r == x0_col, 1.0 - wx_col, 0.0)
-            + jnp.where(u_iota_r == x0_col + 1.0, wx_col, 0.0)
-        ).astype(jnp.bfloat16)                          # (out-x, u)
+        )                                               # (W, 2R)
+        x0_cols = jnp.floor(xy_cols[:, :R])             # (W, R)
+        wx_cols = xy_cols[:, :R] - x0_cols
+        y0f_cols = jnp.floor(xy_cols[:, R:])
+        wy_cols = xy_cols[:, R:] - y0f_cols
+        y0_cols = y0f_cols - band0.astype(jnp.float32)
 
-        # per-out-x iy COLUMN via one identity matmul (no transposes)
-        iy_col = jax.lax.dot_general(
-            identity, iy_row, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # (W, 1)  (exact: fp32)
-        y0f = jnp.floor(iy_col)
-        y0 = y0f - band0.astype(jnp.float32)
-        wy = iy_col - y0f
-        Wy = (
-            jnp.where(r_iota == y0, 1.0 - wy, 0.0)
-            + jnp.where(r_iota == y0 + 1.0, wy, 0.0)
-        ).astype(jnp.bfloat16)                          # (W, BAND)
+        # stacked one-hots: x-interp (RW, u) and y-mix (RW, BAND)
+        Wx_stack = jnp.concatenate(
+            [
+                jnp.where(u_iota_r == x0_cols[:, r:r + 1],
+                          1.0 - wx_cols[:, r:r + 1], 0.0)
+                + jnp.where(u_iota_r == x0_cols[:, r:r + 1] + 1.0,
+                            wx_cols[:, r:r + 1], 0.0)
+                for r in range(R)
+            ],
+            axis=0,
+        ).astype(jnp.bfloat16)                          # (RW, u)
+        Wy_stack = jnp.concatenate(
+            [
+                jnp.where(r_iota == y0_cols[:, r:r + 1],
+                          1.0 - wy_cols[:, r:r + 1], 0.0)
+                + jnp.where(r_iota == y0_cols[:, r:r + 1] + 1.0,
+                            wy_cols[:, r:r + 1], 0.0)
+                for r in range(R)
+            ],
+            axis=0,
+        )                                               # (RW, BAND) fp32
 
         # band as (u=W, BAND*C): ONE aligned dynamic lane-slice of the
         # pre-transposed (W, H*C) source matrix (r-major, c-minor lanes)
         band_off = pl.multiple_of(band0 * CH, 128)      # band0 is 8-aligned
         band_cols = src_vmem[ki, :, pl.ds(band_off, BAND * CH)]
-        A = jnp.dot(Wx, band_cols,
-                    preferred_element_type=jnp.float32)  # (out-x, BAND*C)
+        A = jnp.dot(Wx_stack, band_cols,
+                    preferred_element_type=jnp.float32)  # (RW, BAND*C)
 
         # row mix as two constant matmuls (MXU)
-        Wy_exp = jnp.dot(Wy, expand_E, preferred_element_type=jnp.float32)
+        Wy_exp = jnp.dot(Wy_stack.astype(jnp.bfloat16), expand_E,
+                         preferred_element_type=jnp.float32)
         warped = jnp.dot((A * Wy_exp).astype(jnp.bfloat16), fold_F,
-                         preferred_element_type=jnp.float32)  # (W, C)
+                         preferred_element_type=jnp.float32)  # (RW, C)
         warp_scratch[pl.ds(ki, 1)] = warped[None]
         return 0
 
     jax.lax.fori_loop(0, k, view_body, 0, unroll=False)
 
-    warps = [warp_scratch[ki] for ki in range(k)]
+    warps = [warp_scratch[ki] for ki in range(k)]       # (RW, C) each
     dots = [
-        (warps[ki] * cur_row).sum(axis=1, keepdims=True)
+        (warps[ki] * cur_cols).sum(axis=1, keepdims=True)
         * mask_cols[:, ki:ki + 1]
         for ki in range(k)
     ]
@@ -242,10 +273,10 @@ def _process_row(
     # ---- metadata assembly (lane concat), exact reference channel order ----
     pieces = []
     pieces.extend(warps)                                # k * C
-    pieces.append(cur_row)                              # C
+    pieces.append(cur_cols)                             # C
     pieces.append(mask_cols)                            # k
     pieces.append(z_cols)                               # k
-    pieces.append(jnp.full((W, 1), plane_depth))        # 1
+    pieces.append(jnp.full((RW, 1), plane_depth))       # 1
     pieces.extend(dots)                                 # k
     a0 = off["angles"]
     pieces.append(meta_cols[:, a0: a0 + k])             # ray angles: k
@@ -254,11 +285,11 @@ def _process_row(
     s0 = off["src_rays"]
     pieces.append(meta_cols[:, s0: s0 + 3 * k])         # 3k (src rays)
     pose_meta = pose_meta_ref[0:1, :]                   # (1, 3k)
-    pieces.append(jnp.broadcast_to(pose_meta, (W, pose_meta.shape[1])))
+    pieces.append(jnp.broadcast_to(pose_meta, (RW, pose_meta.shape[1])))
 
-    meta = jnp.concatenate(pieces, axis=1)              # (W, 202)
+    meta = jnp.concatenate(pieces, axis=1)              # (RW, 202)
     pad = MLP_IN_PAD - meta.shape[1]
-    meta = jnp.concatenate([meta, jnp.zeros((W, pad), jnp.float32)], axis=1)
+    meta = jnp.concatenate([meta, jnp.zeros((RW, pad), jnp.float32)], axis=1)
 
     # ---- matching MLP ----
     meta_b = meta.astype(jnp.bfloat16)
@@ -270,16 +301,18 @@ def _process_row(
         jnp.dot(h2.astype(jnp.bfloat16), w3_ref[:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)[:, 0:1]
         + b3_ref[0, 0]
-    )                                                   # (W, 1)
+    )                                                   # (RW, 1)
 
     if use_hint:
-        hint = hint_ref[0, sub]                         # (W, 3)
+        hint = jnp.concatenate(
+            [hint_ref[0, sub] for sub in range(R)], axis=0
+        )                                               # (RW, 3)
         valid = hint[:, 1:2] > 0.5
         diff = jnp.where(valid, jnp.abs(hint[:, 0:1] - plane_depth), -1.0)
         wts = jnp.where(valid, hint[:, 2:3], 0.0)
         hx = jnp.concatenate(
-            [score, diff, wts, jnp.zeros((W, 5), jnp.float32)], axis=1
-        )                                               # (W, 8)
+            [score, diff, wts, jnp.zeros((RW, 5), jnp.float32)], axis=1
+        )                                               # (RW, 8)
         g1 = _leaky(jnp.dot(hx, hw1_ref[:], preferred_element_type=jnp.float32)
                     + hb1_ref[0:1, :])
         g2 = _leaky(jnp.dot(g1, hw2_ref[:], preferred_element_type=jnp.float32)
@@ -289,7 +322,8 @@ def _process_row(
             + hb3_ref[0, 0]
         )
 
-    out_ref[0, p, sub] = score[:, 0]
+    for sub in range(R):
+        out_ref[0, p, sub] = score[sub * W:(sub + 1) * W, 0]
 
 
 def _kernel(
@@ -336,15 +370,14 @@ def _kernel(
 
     for p in range(PLANES_PER_STEP):
         plane_depth = plane_ref[p, 0]
-        for sub in range(ROWS_PER_STEP):
-            _process_row(
-                sub, p, plane_depth, consts, src_vmem,
-                cur_feats_ref, ix_ref, iy_ref, meta_ref,
-                pose_meta_ref, hint_ref,
-                w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
-                out_ref, warp_scratch, num_views, use_hint, h,
-            )
+        _process_rowblock(
+            p, plane_depth, consts, src_vmem,
+            cur_feats_ref, ix_ref, iy_ref, meta_ref,
+            pose_meta_ref, hint_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+            hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
+            out_ref, warp_scratch, num_views, use_hint, h,
+        )
 
 
 def pad_mlp_weights(mlp_params, hint_params=None):
@@ -476,7 +509,7 @@ def fused_feature_volume(
         out_specs=pl.BlockSpec((1, P, R, w), lambda bi, d, y: (bi, d, y, 0)),
         scratch_shapes=[
             pltpu.VMEM((k, LANES, h * c), jnp.bfloat16),
-            pltpu.VMEM((k, LANES, CH), jnp.float32),
+            pltpu.VMEM((k, ROWS_PER_STEP * LANES, CH), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         out_shape=jax.ShapeDtypeStruct((b, D, h, w), jnp.float32),
