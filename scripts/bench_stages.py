@@ -28,17 +28,28 @@ def _cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
-def _time(fn, *args):
+def _time(fn, *args, trials=3):
+    """Min over trials after one warmup — per-dispatch noise on the axon
+    tunnel is tens of ms, which otherwise drowns the slope method."""
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
-def marginal(make_fn, ks=(1, 4)):
+import os as _os
+
+_KS = tuple(int(x) for x in _os.environ.get("BENCH_KS", "1,4").split(","))
+
+
+def marginal(make_fn, ks=None):
     """Build fn(k) repeating the stage k times chained; return per-iter cost."""
+    ks = ks or _KS
     times = {}
     for k in ks:
         fn = make_fn(k)

@@ -197,7 +197,12 @@ def test_train_loop_end_to_end(tmp_path):
     assert events, "no TensorBoard event file written" 
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
+@pytest.mark.skipif(
+    not __import__("os").environ.get("NIGHTLY"),
+    reason="measurement-grade (~9 min: two train-step compiles); numbers "
+           "recorded in PERF_NOTES round 3 — set NIGHTLY=1 to run",
+)
 def test_bn_sharding_deviation():
     """Per-device BN (DDP semantics) vs single-device global-batch BN on
     the SAME batch stream must track each other (measured in full by
