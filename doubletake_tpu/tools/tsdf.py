@@ -270,31 +270,29 @@ def sample_tsdf(tsdf: TSDF, world_points_n3, what: str = "tsdf", method: str = "
 def _build_ray_table(tsdf: TSDF):
     """Pack (values, weights) into a gather-friendly row table.
 
-    Logical unit: a 32-lane bf16 block per (x, y, z-block-of-4) holding
+    Logical unit: a 64-lane bf16 block per (x, y, z-block-of-4) holding
     that column's values and weights over 8 consecutive z levels starting
-    at 4*zb, for both x and its +1 neighbor:
-      [v_x0(8) w_x0(8) v_x1(8) w_x1(8)]
+    at 4*zb, for the full 2x2 (x, y) neighbor footprint:
+      [v_x0y0(8) w_x0y0(8) v_x1y0(8) w_x1y0(8)  same for y1 (32)]
     A trilinear sample whose floor cell is (x0, y0, z0 in [4*zb, 4*zb+3])
-    gathers its two y-corner rows — z and x interpolation live inside the
-    block. FOUR consecutive z-blocks are packed per physical 128-lane row
-    (a pure reshape): TPU HBM arrays are (8, 128)-tiled, so a 32-lane-minor
-    table would be lane-padded 4x and the per-frame full-volume rebuild —
-    the dominant raycast cost — would write 4x the bytes. The sampler
-    selects the 32-lane segment by lane arithmetic (lane//32 == zblk%4).
+    gathers ONE row — x, y and z interpolation all live inside the block.
+    Gathers on this platform are latency-bound (~11-14 ns/row from HBM
+    regardless of width), so baking the whole 8-corner footprint into one
+    row halves the raycast sampling cost vs the y-pair variant; the 2x
+    bigger table costs ~4 ms extra build at volume scale.
 
-    Why rows at all: per-sample scalar gathers serialize on this TPU (the
-    width-1 gather path is ~3.5x slower than row gathers and trilinear
-    would need 8 of them — see PERF_NOTES.md). Why the x pair is baked into
-    the block: x-neighbor rows are Y*zb rows apart in HBM (far, latency-
-    bound) while y-neighbor rows are adjacent, so two near gathers replace
-    four far ones.
+    TWO consecutive z-blocks are packed per physical 128-lane row (a pure
+    reshape): TPU HBM arrays are (8, 128)-tiled, so a sub-128-lane-minor
+    table would be lane-padded and the per-frame full-volume rebuild would
+    write padding. The sampler selects the 64-lane segment by lane
+    arithmetic (lane//64 == zblk%2).
 
-    Returns (table (X*Y*(zbp//4), 128) bf16, zbp) with zbp the padded
-    z-block count (multiple of 4).
+    Returns (table (X*Y*(zbp//2), 128) bf16, zbp) with zbp the padded
+    z-block count (multiple of 2).
     """
     X, Y, Z = tsdf.dims
     zb = -(-max(Z - 1, 1) // 4)  # blocks covering z0 in [0, Z-2]
-    zbp = -(-zb // 4) * 4        # 4 blocks per 128-lane physical row
+    zbp = -(-zb // 2) * 2        # 2 blocks per 128-lane physical row
     zpad = zbp * 4 + 4
 
     def blocks(vol):
@@ -306,22 +304,25 @@ def _build_ray_table(tsdf: TSDF):
     v8, w8 = blocks(tsdf.values), blocks(tsdf.weights)
     vw = jnp.concatenate([v8, w8], axis=-1)  # (X, Y, zbp, 16)
     x1 = jnp.pad(vw[1:], ((0, 1), (0, 0), (0, 0), (0, 0)))
-    table = jnp.concatenate([vw, x1], axis=-1)  # (X, Y, zbp, 32)
-    return table.reshape(X * Y * (zbp // 4), 128), zbp
+    vwx = jnp.concatenate([vw, x1], axis=-1)  # (X, Y, zbp, 32)
+    y1 = jnp.pad(vwx[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    table = jnp.concatenate([vwx, y1], axis=-1)  # (X, Y, zbp, 64)
+    return table.reshape(X * Y * (zbp // 2), 128), zbp
 
 
-def _trilinear_from_rows(corner_rows, fx, fy, fz, zoff, seg):
-    """Trilinear (value, weight) from two packed corner rows.
+def _trilinear_from_row(row, fx, fy, fz, zoff, seg):
+    """Trilinear (value, weight) from ONE packed footprint row.
 
-    corner_rows: (rows_y0, rows_y1), each (N, 128) = four 32-lane z-block
-    segments, each laid out [v_x0(8) w_x0(8) v_x1(8) w_x1(8)]; fx/fy/fz
-    fractional parts; zoff = z0 - 4*zblk in [0, 3]; seg = zblk % 4 selects
-    the live segment.
+    row: (N, 128) = two 64-lane z-block segments, each laid out
+    [v_x0y0(8) w_x0y0(8) v_x1y0(8) w_x1y0(8) v_x0y1(8) ... w_x1y1(8)];
+    fx/fy/fz fractional parts; zoff = z0 - 4*zblk in [0, 3]; seg = zblk % 2
+    selects the live segment.
     """
     lanes = jnp.arange(128, dtype=jnp.int32)
     zl = lanes % 8
     grp = (lanes // 8) % 4    # 0: v@x0, 1: w@x0, 2: v@x1, 3: w@x1
-    blk = lanes // 32         # which z-block segment of the physical row
+    ypart = (lanes // 32) % 2  # 0: y0, 1: y1
+    blk = lanes // 64         # which z-block segment of the physical row
     is_weight = (grp % 2) == 1
     is_x1 = grp >= 2
 
@@ -332,12 +333,10 @@ def _trilinear_from_rows(corner_rows, fx, fy, fz, zoff, seg):
         + jnp.where(zl[None] == zo + 1, fz[:, None], 0.0)
     ) * live
     wx = jnp.where(is_x1[None], fx[:, None], (1.0 - fx)[:, None])
-    val = 0.0
-    wt = 0.0
-    for rows, wy in zip(corner_rows, (1.0 - fy, fy)):
-        r = rows.astype(jnp.float32) * (wz * wx * wy[:, None])
-        val = val + jnp.sum(jnp.where(is_weight[None], 0.0, r), axis=-1)
-        wt = wt + jnp.sum(jnp.where(is_weight[None], r, 0.0), axis=-1)
+    wy = jnp.where(ypart[None] == 1, fy[:, None], (1.0 - fy)[:, None])
+    r = row.astype(jnp.float32) * (wz * wx * wy)
+    val = jnp.sum(jnp.where(is_weight[None], 0.0, r), axis=-1)
+    wt = jnp.sum(jnp.where(is_weight[None], r, 0.0), axis=-1)
     return val, wt
 
 
@@ -417,7 +416,7 @@ def raycast(
     dz = (t_exit - t_enter) / (Sc - 1)                           # (N,)
 
     table, zbp = _build_ray_table(tsdf)
-    zrows = zbp // 4  # physical rows per (x, y) column
+    zrows = zbp // 2  # physical rows per (x, y) column
 
     def sample(zs_flat):
         """Trilinear (tsdf, weight) at depths zs_flat (per-pixel tiled N)."""
@@ -432,16 +431,13 @@ def raycast(
         f = v - v0
         i = v0.astype(jnp.int32)
         zblk = i[:, 2] // 4
-        # two y-corner rows, each packing the (x0, x1) far-neighbor pair
-        # and 4 z-block segments; the clip above guarantees y0+1 <= Y-1
-        # and the table pads x+1 with zeros past the last x
-        base = (i[:, 0] * Y + i[:, 1]) * zrows + zblk // 4
-        rows = (
-            jnp.take(table, base, axis=0),
-            jnp.take(table, base + zrows, axis=0),
-        )
-        return _trilinear_from_rows(
-            rows, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4, zblk % 4
+        # ONE gather per trilinear sample: the row packs the full 2x2
+        # (x, y) neighbor footprint; the clip above guarantees
+        # x0+1 <= X-1 and y0+1 <= Y-1, and the table pads past the edges
+        base = (i[:, 0] * Y + i[:, 1]) * zrows + zblk // 2
+        row = jnp.take(table, base, axis=0)
+        return _trilinear_from_row(
+            row, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4, zblk % 2
         )
 
     # ---- coarse pass: bracket the first crossing ----

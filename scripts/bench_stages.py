@@ -174,15 +174,20 @@ def bench_integrate():
         np.array([[128, 0, 128, 0], [0, 128, 96, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
                  np.float32))
     pose = jnp.eye(4)
+    v0 = jax.block_until_ready(tsdf.values)
+    w0 = jax.block_until_ready(tsdf.weights)
 
     def make_fn(reps):
-        @partial(jax.jit, donate_argnums=(0,))
-        def fn(t):
+        # no donation: inputs are reused across trials; the extra output
+        # copy is bandwidth-bound (~0.5 ms) and cancels in the slope
+        @jax.jit
+        def fn(vals, wts):
+            t = tsdf.replace(values=vals, weights=wts)
             for _ in range(reps):
                 t = integrate_depth(t, depth, pose, K, cfg)
             return t.values
 
-        return lambda: fn(_make_tsdf())
+        return lambda: fn(v0, w0)
 
     m, times = marginal(make_fn)
     print(f"integrate: marginal {m*1e3:.1f} ms  (times {times})")
