@@ -176,18 +176,18 @@ def _process_rowblock(
         [cur_feats_ref[0, sub] for sub in range(R)], axis=0
     )
 
-    # ALL metadata rows -> columns in ONE transpose matmul: stack the R
-    # (C_M, W) slabs along sublanes, transpose, then re-stack per row
-    meta_slabs = jnp.concatenate(
-        [meta_ref[0, p, sub] for sub in range(R)], axis=0
-    )                                                   # (R*C_M, W)
-    c_m = meta_slabs.shape[0] // R
-    meta_cols_w = jax.lax.dot_general(
-        identity, meta_slabs, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                   # (W, R*C_M)
+    # metadata rows -> columns: one transpose matmul per row, stacked along
+    # the (128-aligned) sublane axis. (Stacking the (C_M=38, W) slabs FIRST
+    # would concat at non-8-aligned sublane offsets, which Mosaic rejects.)
     meta_cols = jnp.concatenate(
-        [meta_cols_w[:, r * c_m:(r + 1) * c_m] for r in range(R)], axis=0
+        [
+            jax.lax.dot_general(
+                identity, meta_ref[0, p, sub], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for sub in range(R)
+        ],
+        axis=0,
     )                                                   # (RW, C_M)
     z_cols = meta_cols[:, off["z"]: off["z"] + k]       # (RW, k)
     mask_cols = (z_cols > 0).astype(jnp.float32)
