@@ -513,6 +513,11 @@ def fused_feature_volume(
             pltpu.SemaphoreType.DMA(()),
         ],
         out_shape=jax.ShapeDtypeStruct((b, D, h, w), jnp.float32),
+        # v5e VMEM is 128 MiB/core; the conservative 16 MiB scoped default
+        # rejects the (1024, 640)-class row-block temporaries (measured
+        # 18.5 MiB). Grid order must stay sequential (the per-batch source
+        # DMA fires on each batch's first step).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         src_t,

@@ -24,7 +24,9 @@ from doubletake_tpu.options import Options
 from doubletake_tpu.runners import common
 from doubletake_tpu.runners.incremental import HINT_WEIGHT_THRESHOLD
 from doubletake_tpu.runners.no_hint import unique_scans
-from doubletake_tpu.tools.tsdf import TSDF, integrate_depth, raycast
+from doubletake_tpu.tools.tsdf import (
+    TSDF, build_ray_table, integrate_depth, raycast, raycast_table,
+)
 from doubletake_tpu.utils.metrics import ResultsAverager
 
 
@@ -53,29 +55,32 @@ def compute_hint_volume(opts, model, variables, ds, scan_id):
 
 
 def make_pass2_step(model, hint_h, hint_w, raycast_samples, hint_max_depth):
-    """Pass 2 step: raycast the STATIC hint volume at the frame pose, then
-    forward with hints. (No fusion inside; final fusion is separate.)"""
+    """Pass 2 step: raycast the STATIC hint volume at the frame poses, then
+    forward with hints. Batched: the hint volume's ray table is prebuilt
+    once per scan (build_ray_table) and the per-frame raycast vmaps over
+    the batch — pass 2 is the throughput mode (SURVEY §2.7), so frames run
+    at opts.batch_size through one dispatch. (No fusion inside; final
+    fusion is separate.)"""
 
     @jax.jit
-    def step(variables, hint_tsdf, cur, src):
+    def step(variables, rt, cur, src):
         # revisit mode maps the raycast pose into the hint volume's world
         # frame via "hint_world_T_cam_b44"; the model still sees the
         # original poses (its MVS math only uses relative transforms)
         raycast_pose = cur.get("hint_world_T_cam_b44", cur["world_T_cam_b44"])
-        hint_d, hint_wt, hint_v = raycast(
-            hint_tsdf,
-            raycast_pose[0],
-            cur["invK_s0_b44"][0],
-            hint_h, hint_w,
-            min_depth=common.EVAL_MIN_DEPTH,
-            max_depth=hint_max_depth,
-            num_samples=raycast_samples,
-        )
+        hint_d, hint_wt, hint_v = jax.vmap(
+            lambda p, ik: raycast_table(
+                rt, p, ik, hint_h, hint_w,
+                min_depth=common.EVAL_MIN_DEPTH,
+                max_depth=hint_max_depth,
+                num_samples=raycast_samples,
+            )
+        )(raycast_pose, cur["invK_s0_b44"])
         valid = hint_v & (hint_wt >= HINT_WEIGHT_THRESHOLD)
         hint = {
-            "depth_hint_bhw1": jnp.where(valid, hint_d, jnp.nan)[None, ..., None],
-            "hint_mask_bhw1": valid[None, ..., None],
-            "sampled_weights_bhw1": jnp.where(valid, hint_wt, 0.0)[None, ..., None],
+            "depth_hint_bhw1": jnp.where(valid, hint_d, jnp.nan)[..., None],
+            "hint_mask_bhw1": valid[..., None],
+            "sampled_weights_bhw1": jnp.where(valid, hint_wt, 0.0)[..., None],
         }
         model_cur = {k: v for k, v in cur.items() if k != "hint_world_T_cam_b44"}
         out = model.apply(variables, model_cur, src, hint=hint, return_mask=True)
@@ -128,29 +133,38 @@ def run(opts: Options, variables=None):
                 donate_argnums=0,
             )
 
-        loader = DataLoader(ds, batch_size=1, shuffle=False,
+        # batched pass 2: the ray table is built ONCE for the static hint
+        # volume; frames run at opts.batch_size through one dispatch
+        rt = jax.jit(build_ray_table)(hint_tsdf)
+        loader = DataLoader(ds, batch_size=max(1, opts.batch_size),
+                            shuffle=False,
                             num_workers=min(4, opts.num_workers))
         scan_metrics = ResultsAverager(opts.name, f"scan {scan_id}")
         for cur_np, src_np in loader:
             cur, src = common.device_batch(cur_np, src_np)
             t0 = time.perf_counter()
-            out, hint = step(variables, hint_tsdf, cur, src)
+            out, hint = step(variables, rt, cur, src)
             depth = out["depth_pred_s0_bhw1"]
             depth.block_until_ready()
+            frame_time = (time.perf_counter() - t0) / depth.shape[0]
 
             metrics = common.compute_frame_metrics(depth, cur_np["full_res_depth_bhw1"])
-            fm = {k: float(np.asarray(v)[0]) for k, v in metrics.items()}
-            fm["frame_time"] = time.perf_counter() - t0
-            fm["hint_coverage"] = float(np.asarray(hint["hint_mask_bhw1"]).mean())
-            scan_metrics.update_results(fm)
-            all_frame_avg.update_results(fm)
+            hint_cov = np.asarray(hint["hint_mask_bhw1"])
+            for bi in range(depth.shape[0]):
+                fm = {k: float(np.asarray(v)[bi]) for k, v in metrics.items()}
+                fm["frame_time"] = frame_time
+                fm["hint_coverage"] = float(hint_cov[bi].mean())
+                scan_metrics.update_results(fm)
+                all_frame_avg.update_results(fm)
 
             if opts.run_fusion:
                 fusion_depth = common.depth_for_fusion(opts, out)
-                final_tsdf = fuse(
-                    final_tsdf, fusion_depth[0],
-                    cur["cam_T_world_b44"][0], cur["K_s0_b44"][0]
-                )
+                for bi in range(depth.shape[0]):
+                    # sequential: the running weighted mean is order-dependent
+                    final_tsdf = fuse(
+                        final_tsdf, fusion_depth[bi],
+                        cur["cam_T_world_b44"][bi], cur["K_s0_b44"][bi]
+                    )
 
         scan_metrics.compute_final_average()
         scan_metrics.output_json(

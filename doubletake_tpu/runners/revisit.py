@@ -27,7 +27,7 @@ from doubletake_tpu.runners import common
 from doubletake_tpu.runners.incremental import HINT_WEIGHT_THRESHOLD
 from doubletake_tpu.runners.no_hint import unique_scans
 from doubletake_tpu.runners.offline_two_pass import compute_hint_volume, make_pass2_step
-from doubletake_tpu.tools.tsdf import integrate_depth
+from doubletake_tpu.tools.tsdf import build_ray_table, integrate_depth
 from doubletake_tpu.utils.metrics import ResultsAverager
 
 import jax
@@ -72,6 +72,9 @@ def run(opts: Options, variables=None):
         hint_tsdf = compute_hint_volume(opts, model, variables, first_ds, first_scan_id)
 
         step = make_pass2_step(model, hint_h, hint_w, opts.raycast_samples, 3.0)
+        # the visit-1 hint volume is static for the whole rescan: build its
+        # ray table once (batched raycast vmaps over rescan poses)
+        rt = jax.jit(build_ray_table)(hint_tsdf)
         loader = DataLoader(rescan_ds, batch_size=1, shuffle=False,
                             num_workers=min(4, opts.num_workers))
         tsdf = None
@@ -93,7 +96,7 @@ def run(opts: Options, variables=None):
                 "ij,bjk->bik", first_T_second, cur["world_T_cam_b44"]
             )
             t0 = time.perf_counter()
-            out, hint = step(variables, hint_tsdf, cur_mapped, src)
+            out, hint = step(variables, rt, cur_mapped, src)
             depth = out["depth_pred_s0_bhw1"]
             depth.block_until_ready()
 

@@ -340,6 +340,28 @@ def _trilinear_from_row(row, fx, fy, fz, zoff, seg):
     return val, wt
 
 
+@struct.dataclass
+class RayTable:
+    """Prebuilt gather table for raycasting (see _build_ray_table).
+
+    For a STATIC volume (offline pass-2 / revisit hint meshes) build once
+    per scan with ``build_ray_table`` and raycast many cameras against it —
+    the full-volume repack is the table cost, not the per-camera cost."""
+
+    table: jnp.ndarray
+    origin: jnp.ndarray
+    voxel_size: float = struct.field(pytree_node=False)
+    zbp: int = struct.field(pytree_node=False)
+    dims: tuple = struct.field(pytree_node=False)
+
+
+def build_ray_table(tsdf: TSDF) -> RayTable:
+    table, zbp = _build_ray_table(tsdf)
+    return RayTable(table=table, origin=tsdf.origin,
+                    voxel_size=tsdf.voxel_size, zbp=zbp,
+                    dims=tuple(tsdf.dims))
+
+
 def raycast(
     tsdf: TSDF,
     world_T_cam_44,
@@ -376,7 +398,27 @@ def raycast(
       weight — trilinearly sampled fusion weight at the surface point,
       valid  — crossing found.
     """
-    X, Y, Z = tsdf.dims
+    return raycast_table(
+        build_ray_table(tsdf), world_T_cam_44, invK_44, height, width,
+        min_depth=min_depth, max_depth=max_depth, num_samples=num_samples,
+        weight_epsilon=weight_epsilon,
+    )
+
+
+def raycast_table(
+    rt: RayTable,
+    world_T_cam_44,
+    invK_44,
+    height: int,
+    width: int,
+    min_depth: float = 0.1,
+    max_depth: float = 5.0,
+    num_samples: int = 256,
+    weight_epsilon: float = 1e-4,
+):
+    """raycast() against a prebuilt RayTable (static-volume amortization;
+    vmap-safe over (world_T_cam, invK) for batched offline/revisit hints)."""
+    X, Y, Z = rt.dims
     n = height * width
     S = num_samples
     ys, xs = jnp.meshgrid(
@@ -390,8 +432,8 @@ def raycast(
     rays_world = jnp.matmul(R, rays_cam, precision=_PREC)  # (3, N)
 
     # ray in voxel coordinates: v(s) = ov + s * dv (s is camera z-depth)
-    ov = ((t - tsdf.origin) / tsdf.voxel_size)[:, None]          # (3, 1)
-    dv = rays_world / tsdf.voxel_size                            # (3, N)
+    ov = ((t - rt.origin) / rt.voxel_size)[:, None]              # (3, 1)
+    dv = rays_world / rt.voxel_size                              # (3, N)
     dims = jnp.asarray([X - 1, Y - 1, Z - 1], jnp.float32)[:, None]
 
     # slab clip against the interior box [0, dims-1] (trilinear support)
@@ -415,7 +457,7 @@ def raycast(
     zs = t_enter[None] + u[:, None] * (t_exit - t_enter)[None]   # (Sc, N)
     dz = (t_exit - t_enter) / (Sc - 1)                           # (N,)
 
-    table, zbp = _build_ray_table(tsdf)
+    table, zbp = rt.table, rt.zbp
     zrows = zbp // 2  # physical rows per (x, y) column
 
     def sample(zs_flat):
