@@ -74,6 +74,15 @@ class MatmulConv(nn.Module):
             else None
         )
 
+        # flax nn.Conv promotion semantics: mixed input/param dtypes compute
+        # in the promoted type (bf16 inference casts params at load and
+        # images at model entry; init sees bf16 images with fp32 params)
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+        if bias is not None:
+            bias = bias.astype(dt)
+
         if (
             not UNROLL_CONVS
             or self.feature_group_count != 1

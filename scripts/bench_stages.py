@@ -169,11 +169,20 @@ def bench_integrate():
 
     tsdf = _make_tsdf()
     cfg = FusionConfig(min_depth=0.5, max_depth=3.5, extended_neg_truncation=True)
-    depth = jnp.full((192, 256, 1), 2.0)
+    rng = np.random.RandomState(0)
     K = jnp.asarray(
         np.array([[128, 0, 128, 0], [0, 128, 96, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
                  np.float32))
-    pose = jnp.eye(4)
+    # per-rep DIFFERENT frames: with one fixed (depth, pose) XLA hoists the
+    # entire loop-invariant projection+gather out of the chain and the
+    # marginal reads ~0 (measured) — production integrates a new frame each
+    # step, so the bench must too
+    max_reps = max(_KS)
+    depths = jnp.asarray(
+        rng.rand(max_reps, 192, 256, 1).astype(np.float32) * 2 + 0.8)
+    poses = np.tile(np.eye(4, dtype=np.float32), (max_reps, 1, 1))
+    poses[:, 0, 3] = rng.randn(max_reps) * 0.05
+    poses = jnp.asarray(poses)
     v0 = jax.block_until_ready(tsdf.values)
     w0 = jax.block_until_ready(tsdf.weights)
 
@@ -181,13 +190,13 @@ def bench_integrate():
         # no donation: inputs are reused across trials; the extra output
         # copy is bandwidth-bound (~0.5 ms) and cancels in the slope
         @jax.jit
-        def fn(vals, wts):
+        def fn(vals, wts, ds, ps):
             t = tsdf.replace(values=vals, weights=wts)
-            for _ in range(reps):
-                t = integrate_depth(t, depth, pose, K, cfg)
+            for i in range(reps):
+                t = integrate_depth(t, ds[i], ps[i], K, cfg)
             return t.values
 
-        return lambda: fn(v0, w0)
+        return lambda: fn(v0, w0, depths, poses)
 
     m, times = marginal(make_fn)
     print(f"integrate: marginal {m*1e3:.1f} ms  (times {times})")
