@@ -187,3 +187,46 @@ def test_raycast_hints_match_mesh_rasterize_mechanism():
     assert np.mean(err < 0.12) > 0.85, (
         f"within-3-voxel fraction {np.mean(err < 0.12):.2f}"
     )
+
+
+@pytest.mark.slow
+def test_offline_two_pass_runner_end_to_end(tmp_path):
+    """Offline two-pass glue: pass-1 empty-hint fusion into the locked hint
+    volume, per-scan prebuilt ray table, BATCHED pass-2 (batch 2: exercises
+    the batched fused volume + vmapped raycast), final fusion + artifacts."""
+    from doubletake_tpu.runners import offline_two_pass
+
+    o = Options()
+    o.dataset = "synthetic"
+    o.name = "e2e_offline"
+    o.output_base_path = str(tmp_path)
+    o.image_width, o.image_height = 64, 32
+    o.image_encoder_name = "tiny"
+    o.matching_encoder_type = "tiny"
+    o.depth_decoder_name = "skip"
+    o.model_type = "cv_hint_depth_model"
+    o.feature_volume_type = "mlp_mesh_hint_feature_volume"
+    o.matching_num_depth_bins = 8
+    o.plane_chunk = 8
+    o.model_num_views = 2
+    o.batch_size = 2
+    o.skip_frames = 8
+    o.raycast_samples = 64
+    o.num_workers = 0
+    o.run_fusion = True
+
+    res = offline_two_pass.run(o)
+    fa = res["frame_avg"]
+    for key in ("abs_diff", "abs_rel", "a5", "frame_time", "hint_coverage"):
+        assert key in fa, f"missing metric {key}"
+        assert np.isfinite(fa[key]), f"non-finite {key}"
+    assert 0.0 < fa["abs_rel"] < 50.0
+    # pass-2 hints exist: the pass-1 volume was fused from real predictions
+    assert fa["hint_coverage"] > 0.0
+    base = os.path.join(str(tmp_path), "e2e_offline",
+                        "offline_two_pass_default")
+    assert os.path.exists(os.path.join(base, "scores",
+                                       "all_frame_avg_metrics.json"))
+    meshes = os.listdir(os.path.join(base, "meshes"))
+    assert any(f.endswith("_hint_tsdf.npz") for f in meshes)
+    assert any(f.endswith("_tsdf.npz") for f in meshes)
