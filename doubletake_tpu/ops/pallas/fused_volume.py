@@ -284,7 +284,7 @@ def _process_rowblock(
     pieces.append(meta_cols[:, c0: c0 + 3])             # 3 (cur rays first)
     s0 = off["src_rays"]
     pieces.append(meta_cols[:, s0: s0 + 3 * k])         # 3k (src rays)
-    pose_meta = pose_meta_ref[0:1, :]                   # (1, 3k)
+    pose_meta = pose_meta_ref[0, 0:1, :]                # (1, 3k)
     pieces.append(jnp.broadcast_to(pose_meta, (RW, pose_meta.shape[1])))
 
     meta = jnp.concatenate(pieces, axis=1)              # (RW, 202)
@@ -462,7 +462,10 @@ def fused_feature_volume(
     pd, rm, tm = pose_distance(cur_cam_T_src_cam_bk44.reshape(b * k, 4, 4))
     pose_meta = jnp.concatenate(
         [pd.reshape(b, k), rm.reshape(b, k), tm.reshape(b, k)], axis=1
-    ).astype(jnp.float32)                                # (b, 3k)
+    ).astype(jnp.float32)[:, None]                       # (b, 1, 3k): the
+    # unit sublane dim keeps the per-batch block (1, 1, 3k) legal (Mosaic
+    # requires the last two block dims divisible by (8, 128) or equal to
+    # the array dims — (1, 3k) of a (b, 3k) array is neither at b > 1)
 
     if hint_bhw3 is None:
         hint_bhw3 = jnp.zeros((b, h, w, 3), jnp.float32)
@@ -501,7 +504,7 @@ def fused_feature_volume(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 128), lambda bi, d, y: (d, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * k), lambda bi, d, y: (bi, 0),
+            pl.BlockSpec((1, 1, 3 * k), lambda bi, d, y: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, w, 3), lambda bi, d, y: (bi, y, 0, 0),
                          memory_space=pltpu.VMEM),
