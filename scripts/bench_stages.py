@@ -164,7 +164,7 @@ def bench_table():
     print(f"ray table build: marginal {m*1e3:.1f} ms  (times {times})")
 
 
-def bench_integrate():
+def bench_integrate(cull=False, frac=0.5):
     from doubletake_tpu.tools.tsdf import FusionConfig, integrate_depth
 
     tsdf = _make_tsdf()
@@ -193,13 +193,14 @@ def bench_integrate():
         def fn(vals, wts, ds, ps):
             t = tsdf.replace(values=vals, weights=wts)
             for i in range(reps):
-                t = integrate_depth(t, ds[i], ps[i], K, cfg)
+                t = integrate_depth(t, ds[i], ps[i], K, cfg, cull=cull,
+                                    cull_max_fraction=frac)
             return t.values
 
         return lambda: fn(v0, w0, depths, poses)
 
     m, times = marginal(make_fn)
-    print(f"integrate: marginal {m*1e3:.1f} ms  (times {times})")
+    print(f"integrate cull={cull} frac={frac}: marginal {m*1e3:.1f} ms  (times {times})")
 
 
 def bench_forward(compute_dtype="float32", batch=1, compare=False):
@@ -341,6 +342,20 @@ def main():
         bench_table()
     if "integrate" in which:
         bench_integrate()
+    if "integrate_cull" in which:
+        from doubletake_tpu.tools.tsdf import FusionConfig, choose_cull_fraction
+        t = _make_tsdf()
+        cfg = FusionConfig(min_depth=0.5, max_depth=3.5,
+                           extended_neg_truncation=True)
+        import numpy as _np
+        K44 = _np.array([[128, 0, 128, 0], [0, 128, 96, 0],
+                         [0, 0, 1, 0], [0, 0, 0, 1]], _np.float32)
+        poses = _np.tile(_np.eye(4, dtype=_np.float32), (4, 1, 1))
+        poses[:, 0, 3] = _np.random.RandomState(0).randn(4) * 0.05
+        f = choose_cull_fraction(t, poses, jnp.asarray(K44), cfg, 192, 256)
+        print(f"chosen cull fraction: {f:.3f}")
+        bench_integrate(cull=True, frac=f)
+        bench_integrate(cull=True, frac=0.5)
     if "forward" in which:
         bench_forward()
     if "forward_bf16" in which:

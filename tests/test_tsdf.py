@@ -205,3 +205,73 @@ def test_color_fusion_recovers_surface_color():
         np.testing.assert_allclose(
             np.asarray(back.colors), cols, atol=1e-2
         )
+
+
+def test_culled_integrate_matches_dense():
+    """Frustum-culled integrate (static-shape chunk compaction) must match
+    the dense masked pass: the exact same voxel SET updates (culling only
+    removes voxels that provably fail the data-independent part of `valid`),
+    and values agree to float noise (the two strategies are different XLA
+    programs, so fma/reassociation differences of ~1e-6 are expected)."""
+    bounds = dict(xmin=-2.0, xmax=2.0, ymin=-2.0, ymax=2.0, zmin=-0.5, zmax=3.5)
+    cfg = FusionConfig(min_depth=0.5, max_depth=3.5, extended_neg_truncation=True)
+    K = make_K()
+    # offset / rotated camera so the frustum clips the volume asymmetrically
+    th = 0.4
+    cam_T_world = np.eye(4, dtype=np.float32)
+    cam_T_world[:3, :3] = np.array(
+        [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
+        np.float32,
+    )
+    cam_T_world[:3, 3] = [0.3, -0.2, 0.4]
+    depth = wall_depth(1.8)
+
+    for with_color in (False, True):
+        vol = TSDF.from_bounds(bounds, voxel_size=0.05, with_color=with_color)
+        img = jnp.asarray(np.random.RandomState(0).rand(H, W, 3).astype(np.float32))
+        kw = dict(image_hw3=img) if with_color else {}
+        dense = integrate_depth(
+            vol, jnp.asarray(depth), jnp.asarray(cam_T_world), jnp.asarray(K),
+            cfg, cull=False, **kw,
+        )
+        culled = integrate_depth(
+            vol, jnp.asarray(depth), jnp.asarray(cam_T_world), jnp.asarray(K),
+            cfg, cull=True, cull_max_fraction=0.5, **kw,
+        )
+        dw, cw = np.asarray(dense.weights), np.asarray(culled.weights)
+        # identical update set: no voxel updated by one pass and not the other
+        np.testing.assert_array_equal(dw > 0, cw > 0)
+        np.testing.assert_allclose(
+            np.asarray(dense.values), np.asarray(culled.values), atol=1e-5
+        )
+        np.testing.assert_allclose(dw, cw, atol=1e-6)
+        if with_color:
+            np.testing.assert_allclose(
+                np.asarray(dense.colors), np.asarray(culled.colors), atol=1e-2
+            )
+        # the culled frame actually fused something
+        assert cw.max() > 0
+
+    # overflow (cap smaller than the frustum) falls back to dense — never drops
+    tiny_cap = integrate_depth(
+        vol, jnp.asarray(depth), jnp.asarray(cam_T_world), jnp.asarray(K),
+        cfg, cull=True, cull_max_fraction=0.01,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense.weights) > 0, np.asarray(tiny_cap.weights) > 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense.values), np.asarray(tiny_cap.values), atol=1e-6
+    )
+
+
+def test_frustum_chunk_fraction_sane():
+    from doubletake_tpu.tools.tsdf import frustum_chunk_fraction
+
+    bounds = dict(xmin=-2.0, xmax=2.0, ymin=-2.0, ymax=2.0, zmin=-0.5, zmax=3.5)
+    vol = TSDF.from_bounds(bounds, voxel_size=0.05)
+    cfg = FusionConfig(max_depth=3.5)
+    frac = float(frustum_chunk_fraction(
+        vol, jnp.eye(4), jnp.asarray(make_K()), cfg, H, W
+    ))
+    assert 0.0 < frac < 0.9
