@@ -117,15 +117,22 @@ def main():
             "sampled_weights_bhw1": jnp.where(valid, hint_wt, 0.0)[None, ..., None],
         }
 
+    # NOTE: jitted fns take `variables` (and any big batch dicts) as REAL
+    # ARGUMENTS. Closed-over device arrays are embedded in the HLO as
+    # constants: the serialized program then carries ~100 MB of weights,
+    # which (a) overflows the axon remote-compile request limit (HTTP 413
+    # at b=8) and (b) inflates every dispatch on a tunnel whose per-dispatch
+    # cost scales with program size (PERF_NOTES).
+
     # ---- hardware parity gate: fused Pallas vs XLA volume path ----
     @jax.jit
-    def parity_pair(tsdf, cur, src):
+    def parity_pair(variables, tsdf, cur, src):
         hint = make_hint(tsdf, cur)
         d_fast = model.apply(variables, cur, src, hint=hint)["depth_pred_s0_bhw1"]
         d_slow = model_xla.apply(variables, cur, src, hint=hint)["depth_pred_s0_bhw1"]
         return d_fast, d_slow, hint["hint_mask_bhw1"]
 
-    d_fast, d_slow, hint_mask = parity_pair(tsdf0, cur0, src0)
+    d_fast, d_slow, hint_mask = parity_pair(variables, tsdf0, cur0, src0)
     diff = np.abs(np.asarray(d_fast) - np.asarray(d_slow))
     parity_p99 = float(np.percentile(diff, 99))
     parity_mean = float(diff.mean())
@@ -138,7 +145,7 @@ def main():
         sys.exit(1)
 
     # ---- incremental mode: chained raycast -> forward -> fuse ----
-    def one_frame(tsdf, cur, src):
+    def one_frame(variables, tsdf, cur, src):
         hint = make_hint(tsdf, cur)
         out = model.apply(variables, cur, src, hint=hint)
         depth = out["depth_pred_s0_bhw1"]
@@ -147,13 +154,13 @@ def main():
         )
         return tsdf, depth
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def frame_group(tsdf, curs, srcs):
+    @partial(jax.jit, donate_argnums=(1,))
+    def frame_group(variables, tsdf, curs, srcs):
         depth = None
         for f in range(FRAMES_PER_DISPATCH):
             cur = {k: v[f] for k, v in curs.items()}
             src = {k: v[f] for k, v in srcs.items()}
-            tsdf, depth = one_frame(tsdf, cur, src)
+            tsdf, depth = one_frame(variables, tsdf, cur, src)
         return tsdf, depth
 
     def stack_group(i0):
@@ -166,13 +173,13 @@ def main():
     groups = [stack_group(i * FRAMES_PER_DISPATCH)
               for i in range(NUM_GROUPS + 1)]
 
-    tsdf, depth = frame_group(tsdf0, *groups[-1])  # warmup/compile
+    tsdf, depth = frame_group(variables, tsdf0, *groups[-1])  # warmup/compile
     np.asarray(depth[0, 0, 0, 0])
 
     t0 = time.perf_counter()
     n = 0
     for g in groups[:NUM_GROUPS]:
-        tsdf, depth = frame_group(tsdf, *g)
+        tsdf, depth = frame_group(variables, tsdf, *g)
         n += FRAMES_PER_DISPATCH
     np.asarray(depth[0, 0, 0, 0])
     np.asarray(tsdf.values[0, 0, 0])
@@ -184,19 +191,27 @@ def main():
     bcur_np, bsrc_np = next(iter(bloader))
     bcur, bsrc = dev(bcur_np, CUR), dev(bsrc_np, SRC)
 
+    # Single-rep program (the BATCH_REPS-unrolled variant exceeds the axon
+    # remote-compile request limit — HTTP 413); reps are chained ACROSS
+    # dispatches instead: each call's input depends on the previous call's
+    # output, so the async-dispatch illusion cannot hide the real work, and
+    # the per-dispatch overhead is honestly amortized over BATCH maps.
     @jax.jit
-    def batched_forward(cur):
-        out = None
-        for _ in range(BATCH_REPS):
-            out = model.apply(variables, cur, bsrc)
-            cur = dict(cur, image_bhw3=cur["image_bhw3"]
-                       + out["depth_pred_s0_bhw1"][:, :1, :1] * 1e-30)
+    def batched_forward(variables, cur, src):
+        out = model.apply(variables, cur, src)
         return out["depth_pred_s0_bhw1"]
 
-    d = batched_forward(bcur)
+    def batched_chain(cur):
+        d = None
+        for _ in range(BATCH_REPS):
+            d = batched_forward(variables, cur, bsrc)
+            cur = dict(cur, image_bhw3=cur["image_bhw3"] + d[:, :1, :1] * 1e-30)
+        return d
+
+    d = batched_chain(bcur)
     np.asarray(d[0, 0, 0, 0])  # warmup
     t0 = time.perf_counter()
-    d = batched_forward(bcur)
+    d = batched_chain(bcur)
     np.asarray(d[0, 0, 0, 0])
     dt = time.perf_counter() - t0
     batched_mps = BATCH * BATCH_REPS / dt

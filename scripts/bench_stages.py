@@ -248,6 +248,73 @@ def bench_forward(compute_dtype="float32", batch=1, compare=False):
               f"p99 {np.percentile(diff, 99):.2e} max rel {rel.max():.2e}")
 
 
+def bench_forward_parts(compute_dtype="float32", batch=1):
+    """Marginal cost of each forward submodule (encoder / matching encoder /
+    cost volume / CVEncoder+decoder) — the non-CV ~19 ms of the forward
+    needs attribution before optimization (PERF_NOTES round-3 bf16 finding)."""
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _example_batch
+    from doubletake_tpu.checkpoints.io import cast_floating
+    from doubletake_tpu.models.depth_model import DepthModelCVHint
+
+    H, W = 384, 512
+    model = DepthModelCVHint(fast_cost_volume=True, compute_dtype=compute_dtype)
+    cur, src = _example_batch(batch, H, W, model.model_num_views)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur, src)
+    if compute_dtype == "bfloat16":
+        variables = cast_floating(variables, jnp.bfloat16)
+    dtype = jnp.dtype(compute_dtype)
+
+    img = cur["image_bhw3"].astype(dtype)
+    b, k1 = batch, model.model_num_views
+    all_imgs = jnp.concatenate(
+        [img[:, None], src["image_bkhw3"].astype(dtype)], axis=1
+    ).reshape((b * k1, H, W, 3))
+
+    def part(name, fn, x):
+        def make_fn(reps):
+            @jax.jit
+            def f(xx):
+                out = None
+                for _ in range(reps):
+                    out = fn(xx)
+                    leaf = out[0] if isinstance(out, (list, tuple)) else out
+                    xx = xx + leaf.reshape(-1)[0].astype(xx.dtype) * 1e-30
+                return out
+
+            return lambda: f(x)
+
+        m, times = marginal(make_fn)
+        print(f"forward part {name} b={batch} {compute_dtype}: "
+              f"marginal {m*1e3:.2f} ms  (times {times})")
+
+    part("image encoder (512x384)",
+         lambda x: model.apply(variables, x, method=lambda m, xx: m.encoder(xx)),
+         img)
+    part(f"matching encoder ({b * k1}x512x384)",
+         lambda x: model.apply(
+             variables, x, method=lambda m, xx: m.matching_model(xx)),
+         all_imgs)
+
+    # CVEncoder + decoder: cur_feats fixed, chain over the cost volume input
+    cur_feats = jax.jit(
+        lambda x: model.apply(variables, x, method=lambda m, xx: m.encoder(xx))
+    )(img)
+    cv_in = jnp.asarray(
+        np.random.RandomState(0).randn(b, H // 4, W // 4, 64), dtype)
+
+    def cvnet_dec(x):
+        def run(m, xx):
+            cv_feats = m.cost_volume_net(xx, cur_feats[m.matching_scale:])
+            dec_in = list(cur_feats[: m.matching_scale]) + cv_feats
+            return m.depth_decoder(dec_in)["log_depth_pred_s0_bhw1"]
+
+        return model.apply(variables, x, method=run)
+
+    part("cv_encoder+decoder", cvnet_dec, cv_in)
+
+
 def bench_train(batch=4):
     """First-ever training perf row (VERDICT r2 weak #3): in-graph marginal
     cost of one flagship train step (fwd+bwd, XLA volume path) on the chip,
@@ -364,6 +431,10 @@ def main():
         bench_forward(batch=8)
     if "forward_batch_bf16" in which:
         bench_forward("bfloat16", batch=8)
+    if "forward_parts" in which:
+        bench_forward_parts()
+    if "forward_parts_bf16" in which:
+        bench_forward_parts("bfloat16")
     if "train" in which:
         bench_train(batch=int(sys.argv[sys.argv.index("train") + 1])
                     if len(sys.argv) > sys.argv.index("train") + 1
