@@ -1,0 +1,357 @@
+"""Fused TSDF-integrate Pallas kernel — depth sampling as one-hot matmuls.
+
+Replaces the gather-bound XLA integrate path (``tools/tsdf.py``
+``integrate_depth`` dense strategy; reference math:
+src/doubletake/tools/tsdf.py:414-558 TSDFFuser.integrate_depth) for the
+production volume shapes. The XLA path's cost is one serialized row gather
+per voxel (~2.5 ns/row x 11-18M voxels = 30-45 ms/frame, PERF_NOTES); this
+kernel reformulates the per-voxel nearest depth sample as MXU work:
+
+  * the volume is processed as (8, Z) row blocks of its natural
+    (X*Y, Z) layout — no transposes of the 46 MB volume;
+  * each block is split into 32-lane z sub-tiles. Measured on the bench
+    trajectory (scripts/probe_integrate_footprint.py): a sub-tile's needed
+    samples (in-image, 0 < z_cam < max_depth) span a narrow image-x band
+    (p99 = 37 px) but a wide image-y range — so the kernel one-hot-selects
+    the x coordinate by a stacked (256, BX) @ (BX, 2*Hp) matmul against a
+    BX=64 x-band of the TRANSPOSED depth image, keeping the full image-y
+    extent in lanes, then selects y with a VPU one-hot reduce;
+  * sub-tiles whose x span exceeds the band fall back IN-KERNEL to the
+    same matmul against the full image width (per-tile, no whole-frame
+    fallback); sub-tiles with no needed samples skip the matmuls entirely
+    (~55% of the volume outside the frustum);
+  * nearest sampling is EXACT in f32: the depth image is pre-split into
+    bf16 hi/lo halves ([hi | lo] along lanes, one matmul selects both) and
+    recombined in f32 — a plain bf16 matmul would cost ~1 cm of depth
+    error inside a 6 cm truncation band;
+  * the fusion update (InfiniTAM confidence, truncation clamp, running
+    weighted mean — the exact ``_voxel_update`` math) runs elementwise on
+    the block in VMEM and writes the updated values/weights in place
+    (input_output_aliases), so integrate costs one volume read + write.
+
+The depth image is grid-invariant: it is DMA'd to VMEM once at the first
+grid step (the VMEM-blocked alternative would re-copy it every step —
+the round-1 fused-volume pitfall).
+
+Association caveat: cam = P @ (origin + idx * voxel_size) is computed in
+the same operation order as the XLA path, but fma/reassociation noise can
+flip ``rint`` ties on exact half-pixel boundaries, so a voxel may rarely
+sample the neighboring pixel. Tests therefore assert parity on smooth
+depth + a bounded mismatch fraction on random depth.
+
+Measured on the chip (round 3, 18.5M voxels, 192x256 depth): 29 ms/frame
+in-graph marginal vs 56 ms for the XLA gather path; parity vs XLA over 3
+chained realistic-pose frames: mean |dv| 2.7e-6, p99.9 3.0e-4, mismatch
+fraction 1.3e-5 (rint ties), weight mass equal to 1e-5 relative.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LSUB = 32   # z sub-tile lanes (band statistics measured at this width)
+ROWS = 8    # volume rows (same x, consecutive y) per block
+BX = 64     # static image-x band width (covers p99 spans with the
+            # 16-alignment slack; wider tiles fall back to full width)
+
+
+def _transpose(mat_rc, identity_cc):
+    """(R, C) -> (C, R) via an identity matmul (Mosaic-friendly; the
+    dim-0-contracted dot_general alternative forces per-call operand
+    transposes — the round-1 fused-volume pitfall)."""
+    return jax.lax.dot_general(
+        identity_cc, mat_rc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _sample_tile(ix, iy, needf, x0, bxn, depth_vmem, consts, hp):
+    """Nearest-sample the depth image at (iy, ix) for one (ROWS, L)
+    sub-tile via stacked one-hot matmuls. needf gates contributions (0/1);
+    gated-out voxels sample 0 (the XLA path's where(in_img, ., 0)).
+
+    Returns (ROWS, L) f32 samples.
+    """
+    id_l, id_r, y_iota = consts
+    L, R = ix.shape[1], ROWS
+
+    cat = jnp.concatenate([ix, iy, needf], axis=0)        # (3R, L)
+    cols = _transpose(cat, id_l)                          # (L, 3R)
+    ix_c, iy_c, m_c = cols[:, :R], cols[:, R:2 * R], cols[:, 2 * R:]
+
+    # stacked x one-hots, the need mask folded into the weight. The iota is
+    # built at width bxn directly: a static lane-slice of a wider iota
+    # crashes Mosaic layout inference on this toolchain (array.h CHECK,
+    # limits 4 vs 1) whenever bxn < wp — found by bisection, round 3.
+    u = jax.lax.broadcasted_iota(jnp.int32, (ix_c.shape[0], bxn), 1).astype(
+        jnp.float32)
+    Wx = jnp.concatenate(
+        [
+            jnp.where(
+                u == ix_c[:, r:r + 1] - x0,
+                m_c[:, r:r + 1], 0.0,
+            )
+            for r in range(R)
+        ],
+        axis=0,
+    ).astype(jnp.bfloat16)                                # (RL, bxn)
+
+    band = depth_vmem[pl.ds(pl.multiple_of(x0.astype(jnp.int32), 16), bxn), :]
+    A = jnp.dot(Wx, band, preferred_element_type=jnp.float32)  # (RL, 2Hp)
+    R1 = A[:, :hp] + A[:, hp:]                            # exact f32 depth
+
+    # y-select per row -> (L, R), then one transpose back to (R, L). The
+    # transpose matmul runs at bf16 operand precision on the MXU, which
+    # would cost ~2^-8 relative on the sampled depths (~8 mm — enough to
+    # flip `valid` near the truncation boundary; measured 1% voxel
+    # mismatch on hardware, round 3) — so the depths are split hi/lo and
+    # transposed in two exact passes (the identity operand is exact bf16).
+    parts = []
+    for r in range(R):
+        # select-then-reduce (no separate one-hot multiply: the where IS the
+        # mask, one fewer VPU pass over the hp lanes)
+        parts.append(
+            jnp.sum(
+                jnp.where(y_iota == iy_c[:, r:r + 1],
+                          R1[r * L:(r + 1) * L, :], 0.0),
+                axis=1, keepdims=True,
+            )
+        )
+    samp_cols = jnp.concatenate(parts, axis=1)            # (L, R)
+    bits = jax.lax.bitcast_convert_type(samp_cols, jnp.int32)
+    s_hi = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    return _transpose(s_hi, id_r) + _transpose(samp_cols - s_hi, id_r)
+
+
+def _kernel(
+    vals_ref, wts_ref, depth_any_ref, scal_ref,
+    outv_ref, outw_ref,
+    depth_vmem, samp_vmem, copy_sem,
+    *, Y: int, Z: int, H: int, W: int, hp: int, wp: int,
+    min_depth: float, max_depth: float, truncation: float,
+    trunc_check: float, w_rate: float, debug_out: bool = False,
+):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _copy_depth():
+        copy = pltpu.make_async_copy(depth_any_ref, depth_vmem, copy_sem)
+        copy.start()
+        copy.wait()
+
+    R = ROWS
+    id_r = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    ).astype(jnp.float32)
+
+    # sub-tile sizes: LSUB lanes each plus one 8-multiple tail (volume dims
+    # are only guaranteed multiples of VOX_MOD=8)
+    tiles = [LSUB] * (Z // LSUB)
+    if Z % LSUB:
+        tiles.append(Z % LSUB)
+
+    def consts_for(L):
+        id_l = (
+            jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        ).astype(jnp.float32)
+        y_iota = jax.lax.broadcasted_iota(jnp.int32, (L, hp), 1).astype(
+            jnp.float32)
+        return (id_l, id_r, y_iota)
+
+    tile_consts = {L: consts_for(L) for L in set(tiles)}
+
+    # P @ (origin + idx * vs): same op order as the XLA path
+    p = [scal_ref[0, n] for n in range(12)]
+    ox, oy, oz, vs = (scal_ref[0, 12 + n] for n in range(4))
+    i_f = ((b * R) // Y).astype(jnp.float32)
+    j0_f = ((b * R) % Y).astype(jnp.float32)
+
+    vparts, wparts = [], []
+    z_off = 0
+    for L in tiles:
+        consts = tile_consts[L]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1).astype(
+            jnp.float32) + float(z_off)
+        cx = ox + i_f * vs
+        cy = oy + (j0_f + sub) * vs
+        cz = oz + lane * vs
+        cam0 = p[0] * cx + p[1] * cy + p[2] * cz + p[3]
+        cam1 = p[4] * cx + p[5] * cy + p[6] * cz + p[7]
+        zc = p[8] * cx + p[9] * cy + p[10] * cz + p[11]
+
+        px = cam0 / zc
+        py = cam1 / zc
+        ix = jnp.rint(px - 0.5)
+        iy = jnp.rint(py - 0.5)
+        need = (
+            (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            & (zc > 0) & (zc < max_depth)
+        )
+        needf = need.astype(jnp.float32)
+        # Sanitize BEFORE the transpose matmul: a voxel with zc ~ 0 divides
+        # to inf/NaN, and one non-finite lane poisons its whole transpose
+        # output column (0 * inf = NaN on the MXU just like IEEE).
+        ix = jnp.where(need, ix, -1.0)
+        iy = jnp.where(need, iy, -1.0)
+
+        ix_lo = jnp.min(jnp.where(need, ix, jnp.inf))
+        ix_hi = jnp.max(jnp.where(need, ix, -jnp.inf))
+        active = jnp.isfinite(ix_lo)
+        x0 = jnp.where(active, ix_lo, 0.0)
+        x0 = jnp.clip(jnp.floor(x0 / 16.0) * 16.0, 0.0, float(wp - BX))
+        fits = ix_hi < x0 + BX
+
+        @pl.when(active & fits)
+        def _banded():
+            samp_vmem[:, :L] = _sample_tile(
+                ix, iy, needf, x0, BX, depth_vmem, consts, hp
+            )
+
+        @pl.when(active & jnp.logical_not(fits))
+        def _full():
+            samp_vmem[:, :L] = _sample_tile(
+                ix, iy, needf, jnp.float32(0.0), wp, depth_vmem, consts, hp
+            )
+
+        @pl.when(jnp.logical_not(active))
+        def _skip():
+            samp_vmem[:, :L] = jnp.zeros((R, L), jnp.float32)
+
+        sampled = samp_vmem[:, :L]
+
+        if debug_out:
+            # diagnostic mode: expose per-voxel (sampled, packed pixel id)
+            vparts.append(sampled)
+            wparts.append(jnp.where(need, ix * 256.0 + iy, -1.0))
+            z_off += L
+            continue
+
+        # ---- _voxel_update math, elementwise ----
+        conf = jnp.clip(
+            1.0 - (sampled - min_depth) / (max_depth - min_depth), 0.25, 1.0
+        )
+        conf = conf * conf
+        dist = sampled - zc
+        tsdfv = jnp.clip(dist / truncation, -1.0, 1.0)
+        valid = (zc > 0) & (dist > trunc_check) & (sampled > 0) & (zc < max_depth)
+        new_w = conf * w_rate
+        old_v = vals_ref[:, z_off:z_off + L]
+        old_w = wts_ref[:, z_off:z_off + L]
+        total = old_w + new_w
+        fused = (old_v * old_w + tsdfv * new_w) / total
+        vparts.append(jnp.where(valid, fused, old_v))
+        wparts.append(jnp.where(valid, jnp.minimum(total, 1.0), old_w))
+        z_off += L
+
+    outv_ref[:, :] = jnp.concatenate(vparts, axis=1)
+    outw_ref[:, :] = jnp.concatenate(wparts, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("voxel_size", "min_depth", "max_depth", "truncation",
+                     "trunc_check", "w_rate", "interpret", "debug_out"),
+)
+def fused_integrate(
+    values_xyz,
+    weights_xyz,
+    depth_hw,
+    P_34,
+    origin_3,
+    *,
+    voxel_size: float,
+    min_depth: float,
+    max_depth: float,
+    truncation: float,
+    trunc_check: float,
+    w_rate: float,
+    interpret: bool = False,
+    debug_out: bool = False,
+):
+    """One TSDF fusion step on the full volume. Exact ``_voxel_update``
+    math (bar fma noise and <=2e-5 m hi/lo recombination error); returns
+    (new_values, new_weights).
+
+    Requirements (the caller gates and falls back to XLA otherwise):
+    Y % 8 == 0, Z % 8 == 0, float32 volume, no color fusion.
+    """
+    X, Y, Z = values_xyz.shape
+    H, W = depth_hw.shape
+    assert Y % ROWS == 0 and Z % 8 == 0
+    hp = -(-H // 128) * 128
+    wp = max(-(-W // 16) * 16, BX)
+
+    # Sanitize: a NaN/inf ANYWHERE in the depth image would poison every
+    # sample whose band contains it (0 * NaN = NaN in the one-hot matmul),
+    # unlike the XLA gather which only reads the selected pixel. NaN -> 0
+    # (invalid, matching the XLA path where NaN fails every comparison);
+    # |depth| is clamped so the bf16 hi half cannot overflow to inf.
+    depth = depth_hw.astype(jnp.float32)
+    depth = jnp.clip(jnp.where(jnp.isnan(depth), 0.0, depth), -1e30, 1e30)
+    # hi/lo split via mantissa bit-masking, NOT `depth - bf16(depth)`: under
+    # jit, XLA's excess-precision simplifier treats the f32->bf16->f32
+    # round-trip as identity and folds lo to ZERO — on hardware the kernel
+    # then returns bf16-rounded depths (8 mm at 2 m; found round 3 when the
+    # on-chip sampled error matched |depth - bf16(depth)| bit-exactly). The
+    # masked hi is exactly bf16-representable so its convert never rounds,
+    # and no convert pair exists for the simplifier to cancel.
+    hi_f32 = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(depth, jnp.int32) & jnp.int32(-65536),
+        jnp.float32,
+    )
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (depth - hi_f32).astype(jnp.bfloat16)
+    stack = jnp.zeros((wp, 2 * hp), jnp.bfloat16)
+    stack = stack.at[:W, :H].set(hi.T).at[:W, hp:hp + H].set(lo.T)
+
+    scal = jnp.concatenate(
+        [P_34.reshape(-1).astype(jnp.float32),
+         origin_3.astype(jnp.float32),
+         jnp.asarray([voxel_size], jnp.float32)]
+    ).reshape(1, 16)
+
+    kern = functools.partial(
+        _kernel, Y=Y, Z=Z, H=H, W=W, hp=hp, wp=wp,
+        min_depth=float(min_depth), max_depth=float(max_depth),
+        truncation=float(truncation), trunc_check=float(trunc_check),
+        w_rate=float(w_rate), debug_out=debug_out,
+    )
+    nv, nw = pl.pallas_call(
+        kern,
+        grid=(X * Y // ROWS,),
+        in_specs=[
+            pl.BlockSpec((ROWS, Z), lambda b: (b, 0)),
+            pl.BlockSpec((ROWS, Z), lambda b: (b, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, Z), lambda b: (b, 0)),
+            pl.BlockSpec((ROWS, Z), lambda b: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((X * Y, Z), jnp.float32),
+            jax.ShapeDtypeStruct((X * Y, Z), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wp, 2 * hp), jnp.bfloat16),
+            pltpu.VMEM((ROWS, LSUB), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
+    )(
+        values_xyz.reshape(X * Y, Z),
+        weights_xyz.reshape(X * Y, Z),
+        stack,
+        scal,
+    )
+    return nv.reshape(X, Y, Z), nw.reshape(X, Y, Z)

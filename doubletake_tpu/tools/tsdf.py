@@ -328,6 +328,7 @@ def integrate_depth(
     image_hw3=None,
     cull: bool | None = None,
     cull_max_fraction: float = 0.5,
+    use_pallas: bool | None = None,
 ):
     """Fuse one depth map into the volume. Pure, jittable; returns a new TSDF.
 
@@ -372,6 +373,32 @@ def integrate_depth(
     if cull is None:
         cull = False  # measured slower on TPU (scatter-bound); see docstring
     with_color = tsdf.colors is not None and image_hw3 is not None
+
+    # Fused Pallas integrate (ops/pallas/integrate.py): the depth sample as
+    # one-hot matmuls instead of 11-18M serialized row gathers. Auto-enabled
+    # on TPU for the shapes it supports; identical _voxel_update math.
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() not in ("cpu",)
+            and not cull
+            and not with_color
+            and dims[1] % 8 == 0
+            and dims[2] % 8 == 0
+            and tsdf.values.dtype == jnp.float32
+        )
+    if use_pallas:
+        from doubletake_tpu.ops.pallas.integrate import fused_integrate
+
+        new_vals, new_wts = fused_integrate(
+            tsdf.values, tsdf.weights, depth_hw1[..., 0], P_34, tsdf.origin,
+            voxel_size=tsdf.voxel_size,
+            min_depth=config.min_depth, max_depth=config.max_depth,
+            truncation=truncation,
+            trunc_check=-truncation
+            * (1.5 if config.extended_neg_truncation else 1.0),
+            w_rate=config.update_rate / config.max_weight,
+        )
+        return tsdf.replace(values=new_vals, weights=new_wts)
 
     def dense(_):
         coords = voxel_world_coords(tsdf).reshape(-1, 3)  # (N, 3)

@@ -164,7 +164,7 @@ def bench_table():
     print(f"ray table build: marginal {m*1e3:.1f} ms  (times {times})")
 
 
-def bench_integrate(cull=False, frac=0.5):
+def bench_integrate(cull=False, frac=0.5, use_pallas=None):
     from doubletake_tpu.tools.tsdf import FusionConfig, integrate_depth
 
     tsdf = _make_tsdf()
@@ -194,13 +194,15 @@ def bench_integrate(cull=False, frac=0.5):
             t = tsdf.replace(values=vals, weights=wts)
             for i in range(reps):
                 t = integrate_depth(t, ds[i], ps[i], K, cfg, cull=cull,
-                                    cull_max_fraction=frac)
+                                    cull_max_fraction=frac,
+                                    use_pallas=use_pallas)
             return t.values
 
         return lambda: fn(v0, w0, depths, poses)
 
     m, times = marginal(make_fn)
-    print(f"integrate cull={cull} frac={frac}: marginal {m*1e3:.1f} ms  (times {times})")
+    print(f"integrate cull={cull} frac={frac} pallas={use_pallas}: "
+          f"marginal {m*1e3:.1f} ms  (times {times})")
 
 
 def bench_forward(compute_dtype="float32", batch=1, compare=False):
@@ -409,6 +411,10 @@ def main():
         bench_table()
     if "integrate" in which:
         bench_integrate()
+    if "integrate_pallas" in which:
+        bench_integrate(use_pallas=True)
+    if "integrate_xla" in which:
+        bench_integrate(use_pallas=False)
     if "integrate_cull" in which:
         from doubletake_tpu.tools.tsdf import FusionConfig, choose_cull_fraction
         t = _make_tsdf()
