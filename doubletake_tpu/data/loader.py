@@ -85,6 +85,19 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Blocking put that aborts when the consumer is gone — a plain
+            q.put would block forever on a full queue after the consumer
+            abandons the iterator (early `break`), leaking this thread AND
+            its ThreadPoolExecutor workers for the life of the process."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             epoch = 0
             with ThreadPoolExecutor(self.num_workers) as pool:
@@ -93,9 +106,10 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        q.put(collate(samples))
+                        if not put(collate(samples)):
+                            return
                     if not self.infinite:
-                        q.put(None)
+                        put(None)
                         return
                     epoch += 1
 
@@ -103,7 +117,18 @@ class DataLoader:
         thread.start()
         try:
             while True:
-                item = q.get()
+                try:
+                    item = q.get(timeout=1.0)
+                except queue.Empty:
+                    if thread.is_alive():
+                        continue
+                    try:  # race: producer may put its last item, then exit
+                        item = q.get_nowait()
+                    except queue.Empty:
+                        raise RuntimeError(
+                            "DataLoader producer died (exception in a "
+                            "dataset __getitem__ worker?)"
+                        ) from None
                 if item is None:
                     return
                 yield item
