@@ -28,16 +28,23 @@ def _cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
+def _fetch(out):
+    """Hard fetch of one element — block_until_ready alone has been seen
+    returning in ~1 ms on repeat dispatches over the axon tunnel."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).reshape(-1)[:1]
+
+
 def _time(fn, *args, trials=3):
     """Min over trials after one warmup — per-dispatch noise on the axon
     tunnel is tens of ms, which otherwise drowns the slope method."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _fetch(out)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -222,16 +229,28 @@ def bench_forward(compute_dtype="float32", batch=1, compare=False):
         variables = cast_floating(variables, jnp.bfloat16)
 
     def make_fn(reps):
+        # variables/src as REAL ARGUMENTS: closed-over device arrays embed
+        # in the HLO as constants and overflow the axon remote-compile
+        # request limit at b=8 (HTTP 413; PERF_NOTES round 3)
         @jax.jit
-        def fn(c):
+        def fn(v, c, s):
             out = None
             for _ in range(reps):
-                out = model.apply(variables, c, src)
+                out = model.apply(v, c, s)
                 c = dict(c, image_bhw3=c["image_bhw3"]
                          + out["depth_pred_s0_bhw1"][:, :1, :1] * 1e-30)
             return out["depth_pred_s0_bhw1"]
 
-        return lambda: fn(cur)
+        ctr = [0]
+
+        def call():
+            # a FRESH input buffer per trial: repeat dispatches on identical
+            # buffers are served in ~1 ms regardless of work (axon illusion)
+            ctr[0] += 1
+            c2 = dict(cur, image_bhw3=cur["image_bhw3"] * (1.0 + ctr[0] * 1e-7))
+            return fn(variables, c2, src)
+
+        return call
 
     m, times = marginal(make_fn)
     print(f"forward b={batch} {compute_dtype}: marginal {m*1e3:.1f} ms "
@@ -274,29 +293,35 @@ def bench_forward_parts(compute_dtype="float32", batch=1):
         [img[:, None], src["image_bkhw3"].astype(dtype)], axis=1
     ).reshape((b * k1, H, W, 3))
 
-    def part(name, fn, x):
+    def part(name, fn, x, extra=None):
         def make_fn(reps):
             @jax.jit
-            def f(xx):
+            def f(v, xx, ex):
                 out = None
                 for _ in range(reps):
-                    out = fn(xx)
+                    out = fn(v, xx) if ex is None else fn(v, xx, ex)
                     leaf = out[0] if isinstance(out, (list, tuple)) else out
                     xx = xx + leaf.reshape(-1)[0].astype(xx.dtype) * 1e-30
                 return out
 
-            return lambda: f(x)
+            ctr = [0]
+
+            def call():
+                ctr[0] += 1  # fresh buffer per trial (axon dedupe illusion)
+                return f(variables, x * (1.0 + ctr[0] * 1e-7), extra)
+
+            return call
 
         m, times = marginal(make_fn)
         print(f"forward part {name} b={batch} {compute_dtype}: "
               f"marginal {m*1e3:.2f} ms  (times {times})")
 
     part("image encoder (512x384)",
-         lambda x: model.apply(variables, x, method=lambda m, xx: m.encoder(xx)),
+         lambda v, x: model.apply(v, x, method=lambda m, xx: m.encoder(xx)),
          img)
     part(f"matching encoder ({b * k1}x512x384)",
-         lambda x: model.apply(
-             variables, x, method=lambda m, xx: m.matching_model(xx)),
+         lambda v, x: model.apply(
+             v, x, method=lambda m, xx: m.matching_model(xx)),
          all_imgs)
 
     # CVEncoder + decoder: cur_feats fixed, chain over the cost volume input
@@ -306,15 +331,15 @@ def bench_forward_parts(compute_dtype="float32", batch=1):
     cv_in = jnp.asarray(
         np.random.RandomState(0).randn(b, H // 4, W // 4, 64), dtype)
 
-    def cvnet_dec(x):
+    def cvnet_dec(v, x, feats):
         def run(m, xx):
-            cv_feats = m.cost_volume_net(xx, cur_feats[m.matching_scale:])
-            dec_in = list(cur_feats[: m.matching_scale]) + cv_feats
+            cv_feats = m.cost_volume_net(xx, feats[m.matching_scale:])
+            dec_in = list(feats[: m.matching_scale]) + cv_feats
             return m.depth_decoder(dec_in)["log_depth_pred_s0_bhw1"]
 
-        return model.apply(variables, x, method=run)
+        return model.apply(v, x, method=run)
 
-    part("cv_encoder+decoder", cvnet_dec, cv_in)
+    part("cv_encoder+decoder", cvnet_dec, cv_in, extra=tuple(cur_feats))
 
 
 def bench_train(batch=4):
