@@ -154,14 +154,19 @@ def main():
         )
         return tsdf, depth
 
+    # lax.scan over frames, NOT a Python unroll: the unrolled 12-frame
+    # program is ~12x the HLO and takes many minutes to remote-compile on
+    # this tunnel (it timed out the driver); scan compiles the body once
+    # and costs ~30 us/iteration of fixed overhead (PERF_NOTES dispatch
+    # investigation).
     @partial(jax.jit, donate_argnums=(1,))
     def frame_group(variables, tsdf, curs, srcs):
-        depth = None
-        for f in range(FRAMES_PER_DISPATCH):
-            cur = {k: v[f] for k, v in curs.items()}
-            src = {k: v[f] for k, v in srcs.items()}
+        def body(tsdf, frame):
+            cur, src = frame
             tsdf, depth = one_frame(variables, tsdf, cur, src)
-        return tsdf, depth
+            return tsdf, depth[0, 0, 0, 0]
+        tsdf, d = jax.lax.scan(body, tsdf, (curs, srcs))
+        return tsdf, d
 
     def stack_group(i0):
         """Frames i0..i0+F as (F, 1, ...) arrays — frame-major, batch 1."""
@@ -174,14 +179,14 @@ def main():
               for i in range(NUM_GROUPS + 1)]
 
     tsdf, depth = frame_group(variables, tsdf0, *groups[-1])  # warmup/compile
-    np.asarray(depth[0, 0, 0, 0])
+    np.asarray(depth[0])
 
     t0 = time.perf_counter()
     n = 0
     for g in groups[:NUM_GROUPS]:
         tsdf, depth = frame_group(variables, tsdf, *g)
         n += FRAMES_PER_DISPATCH
-    np.asarray(depth[0, 0, 0, 0])
+    np.asarray(depth[0])
     np.asarray(tsdf.values[0, 0, 0])
     dt = time.perf_counter() - t0
     incremental_mps = n / dt

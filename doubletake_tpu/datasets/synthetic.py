@@ -11,6 +11,8 @@ synthetic``) and bench.py.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from doubletake_tpu.datasets.generic_mvs_dataset import GenericMVSDataset
@@ -133,6 +135,7 @@ class SyntheticDataset(GenericMVSDataset):
         self.tuple_size = tuple_size
         self._scenes = {}
         self._poses = {}
+        self._build_lock = threading.Lock()
         # frames are shared by up to tuple_size overlapping tuples: cache
         # renders so the host pipeline keeps up with the device
         self._render_cache = {}
@@ -171,10 +174,18 @@ class SyntheticDataset(GenericMVSDataset):
         return int(body), int(body)
 
     def scene(self, scan_id) -> SyntheticScene:
+        # Loader worker threads race here: guard the build and only publish
+        # _scenes[scan_id] AFTER _poses[scan_id] exists (a reader that sees
+        # the scene assumes the poses are there too).
         if scan_id not in self._scenes:
-            scene_seed, traj_seed = self.parse_scan_id(scan_id)
-            self._scenes[scan_id] = SyntheticScene(seed=scene_seed)
-            self._poses[scan_id] = synthetic_trajectory(self.num_frames, traj_seed)
+            with self._build_lock:
+                if scan_id not in self._scenes:
+                    scene_seed, traj_seed = self.parse_scan_id(scan_id)
+                    scene = SyntheticScene(seed=scene_seed)
+                    self._poses[scan_id] = synthetic_trajectory(
+                        self.num_frames, traj_seed
+                    )
+                    self._scenes[scan_id] = scene
         return self._scenes[scan_id]
 
     @staticmethod
