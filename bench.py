@@ -40,6 +40,10 @@ BATCH_REPS = 4
 PARITY_P99_LIMIT = 5e-2  # meters, s0 depth, fused-vs-XLA volume path
 
 
+def _note(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import os
 
@@ -58,7 +62,9 @@ def main():
     from doubletake_tpu.datasets.synthetic import SyntheticDataset
     from doubletake_tpu.models.depth_model import DepthModelCVHint
     from doubletake_tpu.runners import incremental
-    from doubletake_tpu.tools.tsdf import TSDF, FusionConfig, integrate_depth, raycast
+    from doubletake_tpu.tools.tsdf import (
+        TSDF, FusionConfig, auto_raycast_samples, integrate_depth, raycast,
+    )
 
     H, W = 384, 512
     model = DepthModelCVHint(fast_cost_volume=True)
@@ -69,6 +75,7 @@ def main():
         split="test", image_height=H, image_width=W,
         num_frames=FRAMES_PER_DISPATCH * (NUM_GROUPS + 1) + 8,
         tuple_size=model.model_num_views,
+        pass_frame_id=True,
     )
     loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=4)
     frames = []
@@ -84,6 +91,7 @@ def main():
            "K_s0_b44", "invK_s0_b44")
     SRC = ("image_bkhw3", "cam_T_world_bk44", "world_T_cam_bk44", "K_s1_bk44")
     cur0, src0 = dev(frames[0][0], CUR), dev(frames[0][1], SRC)
+    _note("init params")
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur0, src0)
 
     # ---- initial volume: fuse GT depth of the first 12 frames ----
@@ -95,6 +103,7 @@ def main():
     fuse_gt = jax.jit(
         lambda v, d, c, k: integrate_depth(v, d, c, k, cfg), donate_argnums=0
     )
+    _note("fusing GT volume")
     for cur_np, _ in frames[:12]:
         tsdf0 = fuse_gt(
             tsdf0,
@@ -104,11 +113,15 @@ def main():
         )
 
     hint_h, hint_w = H // 4, W // 4  # matching res (see runners/incremental.py)
+    n_samples = auto_raycast_samples(
+        tsdf0.voxel_size, 0.5, 3.5, cfg.extended_neg_truncation
+    )
 
     def make_hint(tsdf, cur):
         hint_d, hint_wt, hint_v = raycast(
             tsdf, cur["world_T_cam_b44"][0], cur["invK_s0_b44"][0],
-            hint_h, hint_w, min_depth=0.5, max_depth=3.5, num_samples=256,
+            hint_h, hint_w, min_depth=0.5, max_depth=3.5,
+            num_samples=n_samples,
         )
         valid = hint_v & (hint_wt >= incremental.HINT_WEIGHT_THRESHOLD)
         return {
@@ -132,6 +145,7 @@ def main():
         d_slow = model_xla.apply(variables, cur, src, hint=hint)["depth_pred_s0_bhw1"]
         return d_fast, d_slow, hint["hint_mask_bhw1"]
 
+    _note("parity pair compile+run")
     d_fast, d_slow, hint_mask = parity_pair(variables, tsdf0, cur0, src0)
     diff = np.abs(np.asarray(d_fast) - np.asarray(d_slow))
     parity_p99 = float(np.percentile(diff, 99))
@@ -145,46 +159,97 @@ def main():
         sys.exit(1)
 
     # ---- incremental mode: chained raycast -> forward -> fuse ----
-    def one_frame(variables, tsdf, cur, src):
+    # The matching encoder runs ONLY on the new frame: the 7 src views of a
+    # sequential pipeline were each already encoded when they arrived, so
+    # their features live in a ring buffer carried through the scan
+    # (bit-identical reuse — tests/test_depth_model.py::
+    # test_cached_src_matching_feats_bit_identical). ridx maps each frame's
+    # DVMVS-sorted src order to ring slots.
+    K_SRC = model.model_num_views - 1
+
+    def one_frame(variables, tsdf, ring, cur, src, ridx):
         hint = make_hint(tsdf, cur)
-        out = model.apply(variables, cur, src, hint=hint)
+        out = model.apply(
+            variables, cur, src, hint=hint, src_matching_feats=ring[ridx][None]
+        )
         depth = out["depth_pred_s0_bhw1"]
+        ring = jnp.concatenate([ring[1:], out["matching_feats_bhwc"]], axis=0)
         tsdf = integrate_depth(
             tsdf, depth[0], cur["cam_T_world_b44"][0], cur["K_s0_b44"][0], cfg
         )
-        return tsdf, depth
+        return tsdf, ring, depth
 
     # lax.scan over frames, NOT a Python unroll: the unrolled 12-frame
     # program is ~12x the HLO and takes many minutes to remote-compile on
     # this tunnel (it timed out the driver); scan compiles the body once
     # and costs ~30 us/iteration of fixed overhead (PERF_NOTES dispatch
     # investigation).
-    @partial(jax.jit, donate_argnums=(1,))
-    def frame_group(variables, tsdf, curs, srcs):
-        def body(tsdf, frame):
-            cur, src = frame
-            tsdf, depth = one_frame(variables, tsdf, cur, src)
-            return tsdf, depth[0, 0, 0, 0]
-        tsdf, d = jax.lax.scan(body, tsdf, (curs, srcs))
-        return tsdf, d
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def frame_group(variables, tsdf, ring, curs, srcs, ridxs):
+        def body(carry, frame):
+            tsdf, ring = carry
+            cur, src, ridx = frame
+            tsdf, ring, depth = one_frame(variables, tsdf, ring, cur, src, ridx)
+            return (tsdf, ring), depth[0, 0, 0, 0]
+        (tsdf, ring), d = jax.lax.scan(body, (tsdf, ring), (curs, srcs, ridxs))
+        return tsdf, ring, d
+
+    def frame_ref(i):
+        """Global frame id of frames[i]'s cur (sliding-window tuples)."""
+        return int(frames[i][0]["frame_id_string"][0])
+
+    def src_ids(i):
+        return [int(s) for s in frames[i][1]["frame_id_string"][0]]
 
     def stack_group(i0):
         """Frames i0..i0+F as (F, 1, ...) arrays — frame-major, batch 1."""
         group = frames[i0: i0 + FRAMES_PER_DISPATCH]
         curs = {k: jnp.asarray(np.stack([f[0][k] for f in group])) for k in CUR}
         srcs = {k: jnp.asarray(np.stack([f[1][k] for f in group])) for k in SRC}
-        return curs, srcs
+        # ring slot of src id s when processing ref r: ring holds frames
+        # r-K_SRC .. r-1 at positions 0..K_SRC-1
+        ridxs = np.stack([
+            np.asarray(src_ids(i0 + j), np.int32) - frame_ref(i0 + j) + K_SRC
+            for j in range(FRAMES_PER_DISPATCH)
+        ])
+        assert ridxs.min() >= 0 and ridxs.max() < K_SRC, ridxs
+        return curs, srcs, jnp.asarray(ridxs)
+
+    encode = jax.jit(
+        lambda v, x: model.apply(v, x, method=lambda m, xx: m.matching_model(xx))
+    )
+
+    def ring_for(i0):
+        """Matching features of frames ref-K..ref-1 (ref = frames[i0] cur id),
+        encoded one-off outside the timed loop — in production these were
+        computed when each frame was the cur frame."""
+        r0 = frame_ref(i0)
+        imgs = []
+        for fid in range(r0 - K_SRC, r0):
+            i = fid - frame_ref(0)
+            if i >= 0:
+                imgs.append(frames[i][0]["image_bhw3"][0])
+            else:  # pre-history frames only exist as srcs of frames[0]
+                j = src_ids(0).index(fid)
+                imgs.append(frames[0][1]["image_bkhw3"][0, j])
+        return encode(variables, jnp.asarray(np.stack(imgs)))
 
     groups = [stack_group(i * FRAMES_PER_DISPATCH)
               for i in range(NUM_GROUPS + 1)]
 
-    tsdf, depth = frame_group(variables, tsdf0, *groups[-1])  # warmup/compile
+    _note("frame_group compile+warmup")
+    tsdf, ring, depth = frame_group(
+        variables, tsdf0, ring_for(NUM_GROUPS * FRAMES_PER_DISPATCH),
+        *groups[-1],
+    )
     np.asarray(depth[0])
 
+    _note("timing incremental")
+    ring = ring_for(0)
     t0 = time.perf_counter()
     n = 0
     for g in groups[:NUM_GROUPS]:
-        tsdf, depth = frame_group(variables, tsdf, *g)
+        tsdf, ring, depth = frame_group(variables, tsdf, ring, *g)
         n += FRAMES_PER_DISPATCH
     np.asarray(depth[0])
     np.asarray(tsdf.values[0, 0, 0])
@@ -213,6 +278,7 @@ def main():
             cur = dict(cur, image_bhw3=cur["image_bhw3"] + d[:, :1, :1] * 1e-30)
         return d
 
+    _note("batched compile+warmup")
     d = batched_chain(bcur)
     np.asarray(d[0, 0, 0, 0])  # warmup
     t0 = time.perf_counter()

@@ -95,6 +95,7 @@ class DepthModel(nn.Module):
         flip: bool = False,
         return_mask: bool = False,
         hint: Optional[Dict[str, Any]] = None,
+        src_matching_feats: Optional[Any] = None,
     ):
         """Forward pass.
 
@@ -102,6 +103,15 @@ class DepthModel(nn.Module):
             f"invK_s{matching_scale}_b44".
         src_data: dict with "image_bkhw3" (B, k, H, W, 3), "cam_T_world_bk44",
             "world_T_cam_bk44", f"K_s{matching_scale}_bk44".
+        src_matching_feats: optional (B, k, H/4, W/4, C) precomputed matching
+            features for the src views, in the SAME view order as src_data
+            (the 202-ch volume MLP is view-order-sensitive). Inference feature
+            cache: in sequential modes every src view was already encoded when
+            it was the cur frame, and inference BN uses running stats, so
+            cached features are bit-identical to recomputed ones — the
+            matching encoder then runs on 1 image instead of k+1. The cur
+            frame's features are returned as outputs["matching_feats_bhwc"]
+            for the caller to cache. Inference-only (flip must be False).
         """
         dtype = jnp.dtype(self.compute_dtype)
         cur_image = cur_data["image_bhw3"].astype(dtype)
@@ -128,13 +138,22 @@ class DepthModel(nn.Module):
 
         # matching features for cur + all src views in one batch
         b, k = src_image.shape[:2]
-        all_images = jnp.concatenate([cur_image[:, None], src_image], axis=1)
-        all_feats = self.matching_model(
-            all_images.reshape((b * (k + 1),) + all_images.shape[2:]), train=train
-        )
-        all_feats = all_feats.reshape((b, k + 1) + all_feats.shape[1:])
-        matching_cur_feats = all_feats[:, 0]
-        matching_src_feats = all_feats[:, 1:]
+        if src_matching_feats is None:
+            all_images = jnp.concatenate([cur_image[:, None], src_image], axis=1)
+            all_feats = self.matching_model(
+                all_images.reshape((b * (k + 1),) + all_images.shape[2:]),
+                train=train,
+            )
+            all_feats = all_feats.reshape((b, k + 1) + all_feats.shape[1:])
+            matching_cur_feats = all_feats[:, 0]
+            matching_src_feats = all_feats[:, 1:]
+        else:
+            assert isinstance(flip, bool) and not flip, (
+                "src_matching_feats is an inference feature cache; flipped "
+                "training passes must encode images"
+            )
+            matching_cur_feats = self.matching_model(cur_image, train=train)
+            matching_src_feats = src_matching_feats.astype(dtype)
 
         matching_cur_feats = _maybe_flip(matching_cur_feats, flip, 2)
         matching_src_feats = _maybe_flip(matching_src_feats, flip, 3)
@@ -168,6 +187,9 @@ class DepthModel(nn.Module):
 
         outputs["lowest_cost_bhw"] = lowest_cost_bhw
         outputs["overall_mask_bhw"] = overall_mask_bhw
+        # expose the cur frame's matching features so sequential callers can
+        # cache them as src features for later frames (see docstring)
+        outputs["matching_feats_bhwc"] = matching_cur_feats
         return outputs
 
 
@@ -177,7 +199,7 @@ class DepthModelCVHint(DepthModel):
     feature_volume_type: str = "mlp_mesh_hint_feature_volume"
 
     def __call__(self, cur_data, src_data, train=False, flip=False, return_mask=False,
-                 hint=None):
+                 hint=None, src_matching_feats=None):
         if hint is None:
             # empty hints: invalid everywhere (reference feeds all-invalid
             # hint tensors when no mesh exists yet)
@@ -189,7 +211,8 @@ class DepthModelCVHint(DepthModel):
                 "sampled_weights_bhw1": zero,
             }
         return super().__call__(
-            cur_data, src_data, train=train, flip=flip, return_mask=return_mask, hint=hint
+            cur_data, src_data, train=train, flip=flip, return_mask=return_mask,
+            hint=hint, src_matching_feats=src_matching_feats,
         )
 
 

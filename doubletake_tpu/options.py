@@ -123,7 +123,8 @@ class Options:
     num_devices: int = 0
     # compute dtype for the network ("float32" | "bfloat16")
     compute_dtype: str = "float32"
-    # hint raycast sample count
+    # hint raycast sample count; 0 = auto (minimal band-safe budget,
+    # tools.tsdf.auto_raycast_samples)
     raycast_samples: int = 256
     # write a jax profiler trace for train steps [20, 25) into this dir
     profile_dir: Optional[str] = None

@@ -30,7 +30,7 @@ from doubletake_tpu.datasets.registry import dataset_from_opts
 from doubletake_tpu.options import Options
 from doubletake_tpu.runners import common
 from doubletake_tpu.runners.no_hint import unique_scans
-from doubletake_tpu.tools.tsdf import integrate_depth, raycast
+from doubletake_tpu.tools.tsdf import auto_raycast_samples, integrate_depth, raycast
 from doubletake_tpu.utils.metrics import ResultsAverager
 
 HINT_WEIGHT_THRESHOLD = 0.025  # test_incremental.py:244
@@ -38,10 +38,16 @@ HINT_WEIGHT_THRESHOLD = 0.025  # test_incremental.py:244
 
 def make_step(model, cfg, hint_h, hint_w, raycast_samples, fusion_max_depth,
               opts=None):
-    """Fused per-frame step: raycast hint -> forward -> fuse."""
+    """Fused per-frame step: raycast hint -> forward -> fuse.
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def step(variables, tsdf, cur, src):
+    Returns (step, step_cached): identical except step_cached takes the src
+    views' precomputed matching features (the inference feature cache — every
+    src view of a sequential scan was already encoded when it was the cur
+    frame; reuse is bit-identical, see DepthModel.__call__ docstring), so the
+    matching encoder runs on 1 image instead of model_num_views.
+    """
+
+    def _step(variables, tsdf, cur, src, src_feats=None):
         # 1) hint from the running volume, at depth-output resolution
         hint_d, hint_wt, hint_v = raycast(
             tsdf,
@@ -61,7 +67,10 @@ def make_step(model, cfg, hint_h, hint_w, raycast_samples, fusion_max_depth,
         }
 
         # 2) model forward with the hint
-        out = model.apply(variables, cur, src, hint=hint, return_mask=True)
+        out = model.apply(
+            variables, cur, src, hint=hint, return_mask=True,
+            src_matching_feats=src_feats,
+        )
         depth = out["depth_pred_s0_bhw1"]
 
         # 3) fuse prediction into the volume
@@ -73,7 +82,15 @@ def make_step(model, cfg, hint_h, hint_w, raycast_samples, fusion_max_depth,
         )
         return out, hint, new_tsdf
 
-    return step
+    step = partial(jax.jit, donate_argnums=(1,))(
+        lambda variables, tsdf, cur, src: _step(variables, tsdf, cur, src)
+    )
+    step_cached = partial(jax.jit, donate_argnums=(1,))(
+        lambda variables, tsdf, cur, src, src_feats: _step(
+            variables, tsdf, cur, src, src_feats
+        )
+    )
+    return step, step_cached
 
 
 def make_split_steps(model, cfg, hint_h, hint_w, raycast_samples,
@@ -143,21 +160,34 @@ def run(opts: Options, variables=None):
     for scan_id in scans:
         ds = dataset_from_opts(
             opts, split=opts.split, limit_to_scan_id=scan_id,
-            include_full_res_depth=True,
+            include_full_res_depth=True, pass_frame_id=True,
         )
         # batch size 1 is mandatory: frames are sequential (reference :25)
         loader = DataLoader(ds, batch_size=1, shuffle=False,
                             num_workers=min(4, opts.num_workers))
 
         tsdf, cfg = common.make_fuser(opts, ds, scan_id)
-        step_args = (model, cfg, hint_h, hint_w, opts.raycast_samples,
+        # raycast_samples == 0 -> derive the minimal safe budget from the
+        # truncation band (auto_raycast_samples docstring)
+        samples = opts.raycast_samples or auto_raycast_samples(
+            tsdf.voxel_size, common.EVAL_MIN_DEPTH, opts.fusion_max_depth,
+            cfg.extended_neg_truncation,
+        )
+        step_args = (model, cfg, hint_h, hint_w, samples,
                      opts.fusion_max_depth)
         if opts.split_timing:
             hint_step, forward_step, fuse_step = make_split_steps(
                 *step_args, opts=opts
             )
         else:
-            step = make_step(*step_args, opts=opts)
+            step, step_cached = make_step(*step_args, opts=opts)
+
+        # matching-feature cache: frame_id -> (h/4, w/4, C) device array.
+        # Bounded LRU — keyframe tuples only reach back a few dozen frames.
+        from collections import OrderedDict
+
+        feat_cache: "OrderedDict[str, jnp.ndarray]" = OrderedDict()
+        FEAT_CACHE_MAX = 64
 
         scan_metrics = ResultsAverager(opts.name, f"scan {scan_id}")
         frame_idx = 0
@@ -196,7 +226,28 @@ def run(opts: Options, variables=None):
                 split_times = {"hint_time": t1 - t0, "model_time": t2 - t1}
                 pending = fetch()
             else:
-                out, hint, tsdf = step(variables, tsdf, cur, src)
+                src_ids = cur_np.get("frame_id_string") and src_np.get(
+                    "frame_id_string"
+                )
+                src_feats = None
+                if src_ids:
+                    ids = src_np["frame_id_string"][0]
+                    if all(i in feat_cache for i in ids):
+                        src_feats = jnp.stack(
+                            [feat_cache[i] for i in ids]
+                        )[None]
+                if src_feats is not None:
+                    out, hint, tsdf = step_cached(
+                        variables, tsdf, cur, src, src_feats
+                    )
+                else:
+                    out, hint, tsdf = step(variables, tsdf, cur, src)
+                if src_ids:
+                    fid = cur_np["frame_id_string"][0]
+                    feat_cache[fid] = out["matching_feats_bhwc"][0]
+                    feat_cache.move_to_end(fid)
+                    while len(feat_cache) > FEAT_CACHE_MAX:
+                        feat_cache.popitem(last=False)
                 # prefetch the NEXT frame while this one runs on device
                 pending = fetch()
             depth = out["depth_pred_s0_bhw1"]

@@ -618,6 +618,30 @@ def build_ray_table(tsdf: TSDF) -> RayTable:
                     dims=tuple(tsdf.dims))
 
 
+def auto_raycast_samples(
+    voxel_size: float,
+    min_depth: float,
+    max_depth: float,
+    extended_neg_truncation: bool = True,
+    truncation_voxels: float = 3.0,
+    safety: float = 0.85,
+) -> int:
+    """Smallest raycast sample budget that cannot step over a surface.
+
+    The coarse pass (num_samples // 4 samples over the per-pixel clipped
+    segment, worst case the full [min_depth, max_depth] range) detects a
+    crossing as long as one sample lands in the observed-negative band
+    behind the surface — ``truncation_voxels`` (x1.5 extended) wide. Fixing
+    the coarse step at ``safety`` x that band gives the same detection
+    guarantee as an oversampled march at a fraction of the gathers
+    (sampling is the entire raycast cost — see raycast()).
+    """
+    band = truncation_voxels * (1.5 if extended_neg_truncation else 1.0)
+    band_m = band * voxel_size
+    sc = int(np.ceil((max_depth - min_depth) / (safety * band_m)))
+    return 4 * max(8, sc)
+
+
 def raycast(
     tsdf: TSDF,
     world_T_cam_44,

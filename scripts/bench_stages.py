@@ -117,7 +117,7 @@ def _make_tsdf():
     )
 
 
-def bench_raycast():
+def bench_raycast(num_samples: int = 256):
     from doubletake_tpu.tools.tsdf import raycast
 
     tsdf = _make_tsdf()
@@ -138,7 +138,7 @@ def bench_raycast():
             d = None
             for _ in range(reps):
                 d, wt, v = raycast(t, pose, invK, 96, 128, min_depth=0.5,
-                                   max_depth=3.5, num_samples=256)
+                                   max_depth=3.5, num_samples=num_samples)
                 vol_vals = vol_vals + d[0, 0] * 1e-30
                 t = tsdf.replace(values=vol_vals)
             return d
@@ -146,7 +146,7 @@ def bench_raycast():
         return lambda: fn(tsdf.values)
 
     m, times = marginal(make_fn)
-    print(f"raycast: marginal {m*1e3:.1f} ms  (times {times})")
+    print(f"raycast ns={num_samples}: marginal {m*1e3:.1f} ms  (times {times})")
 
 
 def bench_table():
@@ -432,6 +432,9 @@ def main():
         bench_cv(use_pallas=True)
     if "raycast" in which:
         bench_raycast()
+    if "raycast_sweep" in which:
+        for ns in (256, 192, 128, 96):
+            bench_raycast(ns)
     if "table" in which:
         bench_table()
     if "integrate" in which:

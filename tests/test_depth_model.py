@@ -110,3 +110,38 @@ def test_flip_equivariance_of_volume_path():
     # geometry plumbing must keep them strongly correlated and same-scale
     assert np.isfinite(b).all()
     assert abs(np.log(b.mean() / a.mean())) < 0.5
+
+
+def test_cached_src_matching_feats_bit_identical():
+    """The inference feature cache must be a pure computation reuse: feeding
+    the matching encoder's own output for the src views reproduces the
+    image-path forward exactly (inference BN uses running stats, so features
+    do not depend on what else is in the encoder batch)."""
+    cur_data, src_data = make_batch()
+    model = DepthModelCVHint(
+        image_encoder_name="resnet18d",
+        depth_decoder_name="skip",
+        matching_encoder_type="resnet",
+    )
+    variables = model.init(jax.random.PRNGKey(0), cur_data, src_data)
+
+    ref = model.apply(variables, cur_data, src_data)
+
+    # encode each src view standalone (exactly what a sequential runner
+    # caches when the view was the cur frame)
+    src_imgs = src_data["image_bkhw3"]
+    b, k = src_imgs.shape[:2]
+    feats = model.apply(
+        variables,
+        src_imgs.reshape((b * k,) + src_imgs.shape[2:]),
+        method=lambda m, x: m.matching_model(x),
+    )
+    src_feats = feats.reshape((b, k) + feats.shape[1:])
+
+    out = model.apply(variables, cur_data, src_data, src_matching_feats=src_feats)
+    np.testing.assert_array_equal(
+        np.asarray(out["depth_pred_s0_bhw1"]), np.asarray(ref["depth_pred_s0_bhw1"])
+    )
+    assert out["matching_feats_bhwc"].shape == feats.shape[1:] and (
+        out["matching_feats_bhwc"].shape[0] == b
+    ) or out["matching_feats_bhwc"].shape == (b,) + feats.shape[1:]

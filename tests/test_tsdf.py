@@ -275,3 +275,36 @@ def test_frustum_chunk_fraction_sane():
         vol, jnp.eye(4), jnp.asarray(make_K()), cfg, H, W
     ))
     assert 0.0 < frac < 0.9
+
+
+def test_auto_raycast_samples_band_safe():
+    """The band-derived minimal budget (auto_raycast_samples) must find the
+    same surfaces as an oversampled march: same validity set and depths
+    within the fine-refinement tolerance, on a slanted wall (grazing-ish
+    incidence at the image border is the step-over risk case)."""
+    from doubletake_tpu.tools.tsdf import auto_raycast_samples
+
+    vol = small_volume()
+    cfg = FusionConfig(min_depth=0.5, max_depth=3.5,
+                       extended_neg_truncation=True)
+    # slanted wall: depth ramps 1.2 -> 2.6 m across the image
+    ramp = np.linspace(1.2, 2.6, W, dtype=np.float32)
+    depth_im = np.broadcast_to(ramp[None, :, None], (H, W, 1)).copy()
+    out = integrate_depth(
+        vol, jnp.asarray(depth_im), jnp.eye(4), jnp.asarray(make_K()), cfg
+    )
+    invK = jnp.asarray(np.linalg.inv(make_K()))
+    n_auto = auto_raycast_samples(vol.voxel_size, 0.5, 3.0, True)
+    d_hi, _, v_hi = raycast(out, jnp.eye(4), invK, H, W,
+                            min_depth=0.5, max_depth=3.0, num_samples=512)
+    d_lo, _, v_lo = raycast(out, jnp.eye(4), invK, H, W,
+                            min_depth=0.5, max_depth=3.0, num_samples=n_auto)
+    v_hi, v_lo = np.asarray(v_hi), np.asarray(v_lo)
+    assert n_auto < 512
+    # validity may differ only on a sliver (band-edge ties)
+    assert (v_hi != v_lo).mean() < 0.02, (v_hi.mean(), v_lo.mean())
+    both = v_hi & v_lo
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(
+        np.asarray(d_hi)[both], np.asarray(d_lo)[both], atol=0.02
+    )
