@@ -234,6 +234,11 @@ def main():
                 imgs.append(frames[0][1]["image_bkhw3"][0, j])
         return encode(variables, jnp.asarray(np.stack(imgs)))
 
+    # ring_for/ridxs index ring slots by fid - frame_ref(0): the ring
+    # advances one slot per scan step, so cur ids must be globally
+    # consecutive across the whole frames list, not just within a group
+    for i in range(len(frames) - 1):
+        assert frame_ref(i + 1) == frame_ref(i) + 1, (i, frame_ref(i), frame_ref(i + 1))
     groups = [stack_group(i * FRAMES_PER_DISPATCH)
               for i in range(NUM_GROUPS + 1)]
 

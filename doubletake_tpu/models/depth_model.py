@@ -188,8 +188,11 @@ class DepthModel(nn.Module):
         outputs["lowest_cost_bhw"] = lowest_cost_bhw
         outputs["overall_mask_bhw"] = overall_mask_bhw
         # expose the cur frame's matching features so sequential callers can
-        # cache them as src features for later frames (see docstring)
-        outputs["matching_feats_bhwc"] = matching_cur_feats
+        # cache them as src features for later frames (see docstring) —
+        # unflipped passes only: under flip TTA these are features of the
+        # mirrored image and must never enter the feature cache
+        if isinstance(flip, bool) and not flip:
+            outputs["matching_feats_bhwc"] = matching_cur_feats
         return outputs
 
 

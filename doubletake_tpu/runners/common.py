@@ -208,6 +208,22 @@ def make_fuser(opts: Options, dataset, scan_id) -> Tuple[TSDF, FusionConfig]:
     return tsdf, cfg
 
 
+def resolve_raycast_samples(opts: Options, voxel_size: float,
+                            max_depth: float) -> int:
+    """opts.raycast_samples, with 0 meaning the band-derived minimal safe
+    budget (tools.tsdf.auto_raycast_samples). EVERY runner that raycasts
+    hints must route the option through here — passing a raw 0 into
+    raycast_table would silently march at Sc=2 and produce near-empty
+    hints (raycast_table also asserts against that)."""
+    if opts.raycast_samples:
+        return opts.raycast_samples
+    from doubletake_tpu.tools.tsdf import auto_raycast_samples
+
+    return auto_raycast_samples(
+        voxel_size, EVAL_MIN_DEPTH, max_depth, opts.extended_neg_truncation
+    )
+
+
 def make_hint_fuser(opts: Options, dataset, scan_id) -> Tuple[TSDF, FusionConfig]:
     """Hint-mesh fuser locked to 0.04 m / 3.0 m
     (test_offline_two_pass.py:47-69)."""

@@ -30,7 +30,7 @@ from doubletake_tpu.datasets.registry import dataset_from_opts
 from doubletake_tpu.options import Options
 from doubletake_tpu.runners import common
 from doubletake_tpu.runners.no_hint import unique_scans
-from doubletake_tpu.tools.tsdf import auto_raycast_samples, integrate_depth, raycast
+from doubletake_tpu.tools.tsdf import integrate_depth, raycast
 from doubletake_tpu.utils.metrics import ResultsAverager
 
 HINT_WEIGHT_THRESHOLD = 0.025  # test_incremental.py:244
@@ -169,9 +169,8 @@ def run(opts: Options, variables=None):
         tsdf, cfg = common.make_fuser(opts, ds, scan_id)
         # raycast_samples == 0 -> derive the minimal safe budget from the
         # truncation band (auto_raycast_samples docstring)
-        samples = opts.raycast_samples or auto_raycast_samples(
-            tsdf.voxel_size, common.EVAL_MIN_DEPTH, opts.fusion_max_depth,
-            cfg.extended_neg_truncation,
+        samples = common.resolve_raycast_samples(
+            opts, tsdf.voxel_size, opts.fusion_max_depth
         )
         step_args = (model, cfg, hint_h, hint_w, samples,
                      opts.fusion_max_depth)
@@ -226,11 +225,11 @@ def run(opts: Options, variables=None):
                 split_times = {"hint_time": t1 - t0, "model_time": t2 - t1}
                 pending = fetch()
             else:
-                src_ids = cur_np.get("frame_id_string") and src_np.get(
-                    "frame_id_string"
+                has_ids = (
+                    "frame_id_string" in cur_np and "frame_id_string" in src_np
                 )
                 src_feats = None
-                if src_ids:
+                if has_ids:
                     ids = src_np["frame_id_string"][0]
                     if all(i in feat_cache for i in ids):
                         src_feats = jnp.stack(
@@ -242,7 +241,7 @@ def run(opts: Options, variables=None):
                     )
                 else:
                     out, hint, tsdf = step(variables, tsdf, cur, src)
-                if src_ids:
+                if has_ids:
                     fid = cur_np["frame_id_string"][0]
                     feat_cache[fid] = out["matching_feats_bhwc"][0]
                     feat_cache.move_to_end(fid)

@@ -123,7 +123,10 @@ def run(opts: Options, variables=None):
         )
 
         # ---- pass 2: hint-conditioned re-estimation ----------------------
-        step = make_pass2_step(model, hint_h, hint_w, opts.raycast_samples, 3.0)
+        samples = common.resolve_raycast_samples(
+            opts, hint_tsdf.voxel_size, 3.0
+        )
+        step = make_pass2_step(model, hint_h, hint_w, samples, 3.0)
 
         final_tsdf = final_cfg = fuse = None
         if opts.run_fusion:

@@ -71,7 +71,10 @@ def run(opts: Options, variables=None):
         # hint volume from visit 1 (empty-hint pass, locked hint fuser)
         hint_tsdf = compute_hint_volume(opts, model, variables, first_ds, first_scan_id)
 
-        step = make_pass2_step(model, hint_h, hint_w, opts.raycast_samples, 3.0)
+        samples = common.resolve_raycast_samples(
+            opts, hint_tsdf.voxel_size, 3.0
+        )
+        step = make_pass2_step(model, hint_h, hint_w, samples, 3.0)
         # the visit-1 hint volume is static for the whole rescan: build its
         # ray table once (batched raycast vmaps over rescan poses)
         rt = jax.jit(build_ray_table)(hint_tsdf)

@@ -567,12 +567,20 @@ def _build_ray_table(tsdf: TSDF):
 
 
 def _trilinear_from_row(row, fx, fy, fz, zoff, seg):
-    """Trilinear (value, weight) from ONE packed footprint row.
+    """Trilinear (value, weight, min corner weight) from ONE packed row.
 
     row: (N, 128) = two 64-lane z-block segments, each laid out
     [v_x0y0(8) w_x0y0(8) v_x1y0(8) w_x1y0(8) v_x0y1(8) ... w_x1y1(8)];
     fx/fy/fz fractional parts; zoff = z0 - 4*zblk in [0, 3]; seg = zblk % 2
     selects the live segment.
+
+    ``wmin`` is the minimum fusion weight over the CONTRIBUTING corners
+    (trilinear coefficient > 1e-3). Unobserved voxels hold value -1 at
+    weight 0 (the reference's init, tsdf.py:122-154), so interpolated
+    values at observed/unobserved boundaries (e.g. the camera-frustum
+    edge) blend toward -1 and fake a zero crossing while the interpolated
+    weight can still exceed epsilon — raycast must gate crossings on wmin,
+    not on the blended weight, or it reports phantom surfaces there.
     """
     lanes = jnp.arange(128, dtype=jnp.int32)
     zl = lanes % 8
@@ -590,10 +598,14 @@ def _trilinear_from_row(row, fx, fy, fz, zoff, seg):
     ) * live
     wx = jnp.where(is_x1[None], fx[:, None], (1.0 - fx)[:, None])
     wy = jnp.where(ypart[None] == 1, fy[:, None], (1.0 - fy)[:, None])
-    r = row.astype(jnp.float32) * (wz * wx * wy)
+    coef = wz * wx * wy
+    rf = row.astype(jnp.float32)
+    r = rf * coef
     val = jnp.sum(jnp.where(is_weight[None], 0.0, r), axis=-1)
     wt = jnp.sum(jnp.where(is_weight[None], r, 0.0), axis=-1)
-    return val, wt
+    contributing = is_weight[None] & (coef > 1e-3)
+    wmin = jnp.min(jnp.where(contributing, rf, jnp.inf), axis=-1)
+    return val, wt, wmin
 
 
 @struct.dataclass
@@ -698,6 +710,13 @@ def raycast_table(
 ):
     """raycast() against a prebuilt RayTable (static-volume amortization;
     vmap-safe over (world_T_cam, invK) for batched offline/revisit hints)."""
+    # a raw opts.raycast_samples == 0 (auto) must be resolved by the caller
+    # (runners/common.resolve_raycast_samples) — Sc = max(2, S // 4) would
+    # otherwise silently coarse-march at 2 samples and return empty hints
+    assert num_samples >= 16, (
+        f"num_samples={num_samples}; resolve auto (0) via "
+        "runners.common.resolve_raycast_samples before calling raycast"
+    )
     X, Y, Z = rt.dims
     n = height * width
     S = num_samples
@@ -741,7 +760,7 @@ def raycast_table(
     zrows = zbp // 2  # physical rows per (x, y) column
 
     def sample(zs_flat):
-        """Trilinear (tsdf, weight) at depths zs_flat (per-pixel tiled N)."""
+        """Trilinear (tsdf, weight, min corner weight) at depths zs_flat."""
         m = zs_flat.shape[0] // n
         v = ov[None] + zs_flat.reshape(m, 1, n) * dv[None]       # (m, 3, N)
         v = jnp.clip(
@@ -763,10 +782,12 @@ def raycast_table(
         )
 
     # ---- coarse pass: bracket the first crossing ----
-    vals_flat, wts_flat = sample(zs.reshape(-1))
+    vals_flat, _, wmins_flat = sample(zs.reshape(-1))
     vals = vals_flat.reshape(Sc, n)
-    wts = wts_flat.reshape(Sc, n)
+    wts = wmins_flat.reshape(Sc, n)
 
+    # gate on the min CONTRIBUTING corner weight: blended weights fake
+    # observedness at observed/unobserved boundaries (see _trilinear_from_row)
     observed = wts > weight_epsilon
     prev_vals, cur_vals = vals[:-1], vals[1:]
     crossing = (prev_vals > 0) & (cur_vals <= 0) & observed[:-1] & observed[1:]
@@ -784,9 +805,9 @@ def raycast_table(
     # ---- fine pass: re-march the bracketing interval ----
     uf = jnp.linspace(0.0, 1.0, Sf)
     zf = z_lo[None] + uf[:, None] * dz[None]                    # (Sf, N)
-    fvals_flat, fwts_flat = sample(zf.reshape(-1))
+    fvals_flat, _, fwmins_flat = sample(zf.reshape(-1))
     fvals = fvals_flat.reshape(Sf, n)
-    fobs = fwts_flat.reshape(Sf, n) > weight_epsilon
+    fobs = fwmins_flat.reshape(Sf, n) > weight_epsilon
     fcross = (fvals[:-1] > 0) & (fvals[1:] <= 0) & fobs[:-1] & fobs[1:]
     ffirst = jnp.argmax(fcross, axis=0)
     fvalid = jnp.any(fcross, axis=0)
@@ -800,7 +821,7 @@ def raycast_table(
     # always re-finds it; fall back to the coarse interpolation otherwise
     depth = jnp.where(fvalid, depth_fine, depth_coarse)
 
-    _, surf_w = sample(depth)
+    _, surf_w, _ = sample(depth)
 
     depth = jnp.where(valid, depth, jnp.nan)
     return (

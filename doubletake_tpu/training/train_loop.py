@@ -12,10 +12,17 @@ parameters are replicated, and grads/losses/BN running stats are averaged
 in one fused all-reduce (the analogue of the reference's 2-GPU DDP/NCCL,
 train.py:279-290). Batch-norm batch statistics are per-device, matching
 torch DDP semantics (measured vs the single-device global-batch run in
-tests/test_training.py::test_bn_sharding_deviation). bf16 compute
-(opts.compute_dtype, the analogue of Lightning precision=16) applies to
-INFERENCE paths only: training keeps fp32 master params/optimizer state,
-and mixed-precision train steps are future work.
+tests/test_training.py::test_bn_sharding_deviation).
+
+Mixed precision (opts.precision == 16, the reference's fp16-AMP analogue —
+train.py:321, configs/models/doubletake_model.yaml): master params,
+optimizer state and BN running stats stay fp32; the forward/backward
+compute in bf16 via a param cast at loss entry (the model must be built
+with compute_dtype="bfloat16" so images cast to match — train() does
+this). bf16 needs no loss scaling (fp32-range exponent), so there is no
+GradScaler analogue. Gradients come out fp32 (the cast's transpose
+upcasts), and flax BatchNorm computes batch statistics in fp32 regardless
+of input dtype, so running stats do not degrade.
 """
 
 from __future__ import annotations
@@ -55,6 +62,17 @@ def make_optimizer(opts: Options):
     return optax.adamw(schedule, weight_decay=opts.wd), schedule
 
 
+def train_model_for(opts: Options):
+    """Model instance for the TRAIN step: with opts.precision == 16 the
+    compute dtype is forced to bf16 (reference fp16-AMP analogue) while
+    params/optimizer/eval stay fp32 — see make_train_step(precision=16)."""
+    if opts.precision == 16 and opts.compute_dtype == "float32":
+        import dataclasses
+
+        opts = dataclasses.replace(opts, compute_dtype="bfloat16")
+    return common.build_model(opts)
+
+
 def data_mesh(num_devices: int = 0) -> Mesh:
     devices = jax.devices()
     n = num_devices or len(devices)
@@ -79,15 +97,29 @@ def _train_batch(cur_np, src_np, dtype=jnp.float32):
 
 
 def make_train_step(model, tx, mesh: Optional[Mesh] = None,
-                    use_hint_model: bool = False):
+                    use_hint_model: bool = False, precision: int = 32):
     """Build the jitted, sharded train step.
 
     Returns step(state, cur, src, rng, flip) -> (state, losses_dict).
     With a mesh, batch inputs are sharded over ('data',) and the state is
     replicated; gradients all-reduce automatically.
+
+    precision == 16: bf16 compute with fp32 master params (see module
+    docstring). The model must have compute_dtype == "bfloat16" so its
+    image casts match the bf16 params (flax dtype promotion would
+    otherwise upcast every layer back to fp32).
     """
+    if precision == 16:
+        assert jnp.dtype(model.compute_dtype) == jnp.bfloat16, (
+            "precision=16 needs a compute_dtype='bfloat16' model; build it "
+            "with training.train_loop.train_model_for(opts)"
+        )
 
     def loss_fn(params, batch_stats, cur, src, rng):
+        if precision == 16:
+            from doubletake_tpu.checkpoints.io import cast_floating
+
+            params = cast_floating(params, jnp.bfloat16)
         aug_rng, flip_rng = jax.random.split(rng)
         cur = dict(cur)
         src = dict(src)
@@ -276,11 +308,16 @@ def train(opts: Options):
         )
 
     model = common.build_model(opts)
+    train_model = train_model_for(opts)
     use_hint = "hint" in opts.feature_volume_type
     tx, schedule = make_optimizer(opts)
 
     mesh = data_mesh(opts.num_devices) if len(jax.devices()) > 1 else None
-    train_step = make_train_step(model, tx, mesh, use_hint_model=use_hint)
+    train_step = make_train_step(train_model, tx, mesh,
+                                 use_hint_model=use_hint,
+                                 precision=opts.precision)
+    # eval/val in fp32 master precision (the reference validates under AMP,
+    # but fp32 val is strictly more accurate for checkpoint selection)
     eval_step = make_eval_step(model, use_hint_model=use_hint)
 
     it = iter(train_loader)

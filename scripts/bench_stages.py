@@ -30,9 +30,12 @@ def _cache():
 
 def _fetch(out):
     """Hard fetch of one element — block_until_ready alone has been seen
-    returning in ~1 ms on repeat dispatches over the axon tunnel."""
+    returning in ~1 ms on repeat dispatches over the axon tunnel. The
+    element is sliced out ON DEVICE first: np.asarray on the full leaf
+    would pull the whole array (50-150 MB at b=8) over the tunnel and
+    drown the slope in transfer time (measured: negative marginals)."""
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).reshape(-1)[:1]
+    np.asarray(leaf.reshape(-1)[0])
 
 
 def _time(fn, *args, trials=3):

@@ -177,6 +177,40 @@ def test_basic_block_parity():
         np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-5)
 
 
+def test_lightning_ckpt_file_roundtrip(tmp_path):
+    """The exact code path real checkpoints take: a Lightning-layout .ckpt
+    FILE on disk (state_dict tensors + hparams/epoch metadata, as
+    sr_depth_model.py saves them via Lightning) loaded through
+    convert_reference_checkpoint must produce the same tree as the
+    in-memory conversion — including skipping non-tensor entries."""
+    from doubletake_tpu.checkpoints.convert import convert_reference_checkpoint
+
+    torch_enc = randomize(make_torch_matching_encoder())
+    sd = {f"matching_model.net.{k}": v for k, v in torch_enc.state_dict().items()}
+
+    path = str(tmp_path / "reference_model.ckpt")
+    torch.save(
+        {
+            "state_dict": sd,
+            "hyper_parameters": {"opts": {"name": "doubletake"}},
+            "epoch": 3,
+            "global_step": 110000,
+            "pytorch-lightning_version": "1.9.0",
+            "optimizer_states": [{}],
+            "lr_schedulers": [{}],
+        },
+        path,
+    )
+    from_file = convert_reference_checkpoint(path)
+    in_memory = convert_state_dict({k: v.numpy() for k, v in sd.items()})
+
+    flat_a = jax.tree_util.tree_leaves_with_path(from_file)
+    flat_b = jax.tree_util.tree_leaves_with_path(in_memory)
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (pa, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+
 class TorchMLP(nn.Module):
     def __init__(self, channels):
         super().__init__()

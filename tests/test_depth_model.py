@@ -142,6 +142,4 @@ def test_cached_src_matching_feats_bit_identical():
     np.testing.assert_array_equal(
         np.asarray(out["depth_pred_s0_bhw1"]), np.asarray(ref["depth_pred_s0_bhw1"])
     )
-    assert out["matching_feats_bhwc"].shape == feats.shape[1:] and (
-        out["matching_feats_bhwc"].shape[0] == b
-    ) or out["matching_feats_bhwc"].shape == (b,) + feats.shape[1:]
+    assert out["matching_feats_bhwc"].shape == (b,) + feats.shape[1:]

@@ -163,6 +163,41 @@ def test_single_device_train_step_loss_drops_on_fixed_batch():
 
 
 @pytest.mark.slow
+def test_mixed_precision_train_step_tracks_fp32():
+    """precision=16 (bf16 compute, fp32 master params — the reference's
+    fp16-AMP analogue, train.py:321): params/opt-state stay fp32, the loss
+    curve tracks the fp32 step on a fixed batch."""
+    opts = small_opts()
+    opts.lr = 1e-3
+    tx, _ = train_loop.make_optimizer(opts)
+    batch = make_batch(opts, 2)
+    cur, src = train_loop._train_batch(*batch)
+
+    curves = {}
+    for precision in (32, 16):
+        opts.precision = precision
+        model = train_loop.train_model_for(opts)
+        state = train_loop.init_train_state(opts, model, tx, batch)
+        step_fn = train_loop.make_train_step(
+            model, tx, mesh=None, use_hint_model=True, precision=precision
+        )
+        losses = []
+        for i in range(6):
+            state, ld = step_fn(state, cur, src, jax.random.PRNGKey(7))
+            losses.append(float(ld["loss"]))
+        # master params and optimizer state stay fp32 under bf16 compute
+        for leaf in jax.tree_util.tree_leaves((state.params, state.opt_state)):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32, leaf.dtype
+        curves[precision] = np.asarray(losses)
+
+    a, b = curves[32], curves[16]
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-8)
+    assert rel.mean() < 0.15, (a, b)
+
+
+@pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
     """train() glue: snapshot, flip/color aug step, multi-val-loader
     protocol, checkpointing, best-ckpt tracking — 2 steps on synthetic."""
