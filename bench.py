@@ -37,7 +37,12 @@ FRAMES_PER_DISPATCH = 12
 NUM_GROUPS = 2
 BATCH = 8
 BATCH_REPS = 4
-PARITY_P99_LIMIT = 5e-2  # meters, s0 depth, fused-vs-XLA volume path
+PARITY_P99_LIMIT = 1e-2  # meters, s0 depth, fused-vs-XLA volume path
+# ~1.5x the observed p99 (6.4 mm, BENCH_r03); the old 5 cm gate was 8x
+# looser than reality and would have let real regressions through.
+ABS_DIFF_DELTA_LIMIT = 5e-4  # meters: fused-vs-XLA |Abs Diff| metric delta
+# budget — BASELINE.md demands score parity "within 0.001" vs reference
+# checkpoints, so the kernel may consume at most half that budget.
 
 
 def _note(msg):
@@ -104,13 +109,21 @@ def main():
         lambda v, d, c, k: integrate_depth(v, d, c, k, cfg), donate_argnums=0
     )
     _note("fusing GT volume")
-    for cur_np, _ in frames[:12]:
-        tsdf0 = fuse_gt(
-            tsdf0,
-            jnp.asarray(np.nan_to_num(cur_np["depth_bhw1"][0])),
-            jnp.asarray(cur_np["cam_T_world_b44"][0]),
-            jnp.asarray(cur_np["K_s0_b44"][0]),
-        )
+    # Fuse the GT of ALL loaded frames, three times: the hint mechanism only
+    # engages above sampled fusion weight 0.025 (reference
+    # test_incremental.py:244), which at per-observation weight
+    # confidence*2.5/100 needs ~10-20 observations per surface point. A
+    # 12-frame-young volume leaves hint coverage at 0.12 — unrepresentative
+    # of mid-scan incremental conditions, where fusion sees every captured
+    # frame (~4x the keyframe tuples) and weights saturate (VERDICT r3 #7).
+    for _ in range(3):
+        for cur_np, _ in frames:
+            tsdf0 = fuse_gt(
+                tsdf0,
+                jnp.asarray(np.nan_to_num(cur_np["depth_bhw1"][0])),
+                jnp.asarray(cur_np["cam_T_world_b44"][0]),
+                jnp.asarray(cur_np["K_s0_b44"][0]),
+            )
 
     hint_h, hint_w = H // 4, W // 4  # matching res (see runners/incremental.py)
     n_samples = auto_raycast_samples(
@@ -147,14 +160,51 @@ def main():
 
     _note("parity pair compile+run")
     d_fast, d_slow, hint_mask = parity_pair(variables, tsdf0, cur0, src0)
-    diff = np.abs(np.asarray(d_fast) - np.asarray(d_slow))
+    d_fast, d_slow = np.asarray(d_fast), np.asarray(d_slow)
+    diff = np.abs(d_fast - d_slow)
     parity_p99 = float(np.percentile(diff, 99))
     parity_mean = float(diff.mean())
-    hint_coverage = float(np.asarray(hint_mask).mean())
+    # hint coverage over several trajectory poses (the first frame looks
+    # into the least-fused part of the scene and under-reports)
+    cov_frames = [0, FRAMES_PER_DISPATCH // 2, FRAMES_PER_DISPATCH - 1]
+    covs = [float(np.asarray(hint_mask).mean())]
+    hint_fn = jax.jit(lambda t, c: make_hint(t, c)["hint_mask_bhw1"])
+    for i in cov_frames[1:]:
+        covs.append(float(np.asarray(
+            hint_fn(tsdf0, dev(frames[i][0], CUR))).mean()))
+    hint_coverage = float(np.mean(covs))
     if parity_p99 > PARITY_P99_LIMIT:
         print(json.dumps({
             "metric": "PARITY FAILURE: fused Pallas vs XLA s0 depth p99 (m)",
             "value": parity_p99, "unit": "m", "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
+
+    # ---- METRIC-level parity: what the kernel numerics do to the scores.
+    # |pred_a - pred_b| overstates the effect on |pred - gt|; the BASELINE
+    # "within 0.001" budget is on Abs Diff / delta<1.05 vs GT (reference
+    # eval protocol: nearest-upsample pred to GT res, valid GT > 0.5 m).
+    # The weights are untrained, but both paths share them, so the DELTA
+    # between the paths' metrics isolates exactly the kernel contribution.
+    def depth_metrics(pred_b1hw1, gt_bhw1):
+        gt = gt_bhw1[0, ..., 0]
+        ph, pw = pred_b1hw1.shape[1:3]
+        gh, gw = gt.shape
+        pred = pred_b1hw1[0, ..., 0][
+            (np.arange(gh) * ph) // gh][:, (np.arange(gw) * pw) // gw]
+        valid = np.isfinite(gt) & (gt > 0.5)
+        pred, gt = pred[valid], gt[valid]
+        ratio = np.maximum(pred / gt, gt / pred)
+        return float(np.abs(pred - gt).mean()), float((ratio < 1.05).mean())
+
+    gt0 = np.nan_to_num(np.asarray(frames[0][0]["depth_bhw1"]))
+    abs_fast, d105_fast = depth_metrics(d_fast, gt0)
+    abs_slow, d105_slow = depth_metrics(d_slow, gt0)
+    abs_diff_delta = abs(abs_fast - abs_slow)
+    if abs_diff_delta > ABS_DIFF_DELTA_LIMIT:
+        print(json.dumps({
+            "metric": "PARITY FAILURE: fused-vs-XLA Abs Diff metric delta (m)",
+            "value": abs_diff_delta, "unit": "m", "vs_baseline": 0.0,
         }))
         sys.exit(1)
 
@@ -303,6 +353,11 @@ def main():
             "batch": BATCH,
             "pallas_vs_xla_s0_depth_p99_m": round(parity_p99, 5),
             "pallas_vs_xla_s0_depth_mean_m": round(parity_mean, 6),
+            "abs_diff_fused_m": round(abs_fast, 5),
+            "abs_diff_xla_m": round(abs_slow, 5),
+            "abs_diff_delta_m": round(abs_diff_delta, 6),
+            "delta105_fused": round(d105_fast, 4),
+            "delta105_xla": round(d105_slow, 4),
             "hint_coverage": round(hint_coverage, 3),
             "frames_per_dispatch": FRAMES_PER_DISPATCH,
         },

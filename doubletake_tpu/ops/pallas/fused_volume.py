@@ -65,10 +65,14 @@ from doubletake_tpu.utils.geometry import (
 
 _PREC = jax.lax.Precision.HIGHEST
 
-BAND = 40           # source-row band height per 8-row block (shared band:
-                    # 8 alignment + 8 block rows + 2 interp + 22 rows of
-                    # in-block sampling spread — comparable safety margin to
-                    # the round-2 per-row 32-band)
+BAND = 32           # source-row band height per 8-row block (shared band:
+                    # up to 7 rows of down-alignment + 8 block rows + 2
+                    # interp + 15 rows of in-block sampling spread). Every
+                    # lane of the y-mix stage scales with BAND*C, and the
+                    # y-mix was measured at 7.1 of the kernel's 23.5 ms
+                    # (round-4 ablation), so the band carries exactly the
+                    # slack the parity tests demand and no more. Violations
+                    # degrade to zeros like out-of-image samples.
 ROWS_PER_STEP = 8   # output rows per grid step (processed as ONE stacked
                     # (R*W, ...) matmul chain: the per-row formulation was
                     # matmul-ISSUE-bound at ~280k small matmuls/frame)
@@ -224,39 +228,47 @@ def _process_rowblock(
         wy_cols = xy_cols[:, R:] - y0f_cols
         y0_cols = y0f_cols - band0.astype(jnp.float32)
 
-        # stacked one-hots: x-interp (RW, u) and y-mix (RW, BAND)
+        # stacked one-hots: x-interp (RW, u) and y-mix (RW, BAND), built as
+        # TENT functions max(0, 1 - |u - ix|) — bit-identical to the
+        # (u==x0)*(1-wx) + (u==x0+1)*wx compare form (fp32 subtractions of
+        # in-range coords are exact) at ~2/3 the VPU ops, with
+        # grid_sample's zeros padding falling out of the tent's support
         Wx_stack = jnp.concatenate(
             [
-                jnp.where(u_iota_r == x0_cols[:, r:r + 1],
-                          1.0 - wx_cols[:, r:r + 1], 0.0)
-                + jnp.where(u_iota_r == x0_cols[:, r:r + 1] + 1.0,
-                            wx_cols[:, r:r + 1], 0.0)
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(u_iota_r - xy_cols[:, r:r + 1])
+                )
                 for r in range(R)
             ],
             axis=0,
         ).astype(jnp.bfloat16)                          # (RW, u)
+        yb_cols = xy_cols[:, R:] - band0.astype(jnp.float32)
         Wy_stack = jnp.concatenate(
             [
-                jnp.where(r_iota == y0_cols[:, r:r + 1],
-                          1.0 - wy_cols[:, r:r + 1], 0.0)
-                + jnp.where(r_iota == y0_cols[:, r:r + 1] + 1.0,
-                            wy_cols[:, r:r + 1], 0.0)
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(r_iota - yb_cols[:, r:r + 1])
+                )
                 for r in range(R)
             ],
             axis=0,
-        )                                               # (RW, BAND) fp32
+        ).astype(jnp.bfloat16)                          # (RW, BAND)
 
         # band as (u=W, BAND*C): ONE aligned dynamic lane-slice of the
         # pre-transposed (W, H*C) source matrix (r-major, c-minor lanes)
         band_off = pl.multiple_of(band0 * CH, 128)      # band0 is 8-aligned
+        # Everything from here to the fold's fp32 accumulate runs in bf16:
+        # the fold matmul rounds its operands to bf16 regardless, so fp32
+        # intermediates only bought VPU/copy time — the y-mix stage was
+        # 7.1 of the kernel's 23.5 ms with fp32 (RW, BAND*C) intermediates
+        # (round-4 ablation)
         band_cols = src_vmem[ki, :, pl.ds(band_off, BAND * CH)]
         A = jnp.dot(Wx_stack, band_cols,
-                    preferred_element_type=jnp.float32)  # (RW, BAND*C)
+                    preferred_element_type=jnp.bfloat16)  # (RW, BAND*C)
 
         # row mix as two constant matmuls (MXU)
-        Wy_exp = jnp.dot(Wy_stack.astype(jnp.bfloat16), expand_E,
-                         preferred_element_type=jnp.float32)
-        warped = jnp.dot((A * Wy_exp).astype(jnp.bfloat16), fold_F,
+        Wy_exp = jnp.dot(Wy_stack, expand_E,
+                         preferred_element_type=jnp.bfloat16)
+        warped = jnp.dot(A * Wy_exp, fold_F,
                          preferred_element_type=jnp.float32)  # (RW, C)
         warp_scratch[pl.ds(ki, 1)] = warped[None]
         return 0

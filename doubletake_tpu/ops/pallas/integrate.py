@@ -55,7 +55,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LSUB = 32   # z sub-tile lanes (band statistics measured at this width)
-ROWS = 8    # volume rows (same x, consecutive y) per block
+ROWS = 8    # volume rows (consecutive in the flattened X*Y order) per
+            # sampling sub-block — the x-band statistics were measured at
+            # this height, so banding stays at 8 rows
+BLOCK_ROWS = 64  # volume rows per GRID STEP (ROWS-row sub-blocks inside):
+            # the per-step fixed cost (sync + block DMA latency) dominated
+            # the round-3 kernel at 8 rows/step (X*Y/8 ~ 14k steps for the
+            # bench volume ~= most of its 29 ms); 64 rows/step cuts the
+            # step count 8x at unchanged per-row compute
 BX = 64     # static image-x band width (covers p99 spans with the
             # 16-alignment slack; wider tiles fall back to full width)
 
@@ -132,7 +139,7 @@ def _kernel(
     vals_ref, wts_ref, depth_any_ref, scal_ref,
     outv_ref, outw_ref,
     depth_vmem, samp_vmem, copy_sem,
-    *, Y: int, Z: int, H: int, W: int, hp: int, wp: int,
+    *, Y: int, Z: int, H: int, W: int, hp: int, wp: int, block_rows: int,
     min_depth: float, max_depth: float, truncation: float,
     trunc_check: float, w_rate: float, debug_out: bool = False,
 ):
@@ -170,18 +177,42 @@ def _kernel(
     # P @ (origin + idx * vs): same op order as the XLA path
     p = [scal_ref[0, n] for n in range(12)]
     ox, oy, oz, vs = (scal_ref[0, 12 + n] for n in range(4))
-    i_f = ((b * R) // Y).astype(jnp.float32)
-    j0_f = ((b * R) % Y).astype(jnp.float32)
+
+    for g in range(block_rows // R):
+        _row_group(
+            g, b * block_rows + g * R, vals_ref, wts_ref, outv_ref, outw_ref,
+            depth_vmem, samp_vmem, tiles, tile_consts, p,
+            (ox, oy, oz, vs), Y=Y, H=H, W=W, hp=hp, wp=wp,
+            min_depth=min_depth, max_depth=max_depth, truncation=truncation,
+            trunc_check=trunc_check, w_rate=w_rate, debug_out=debug_out,
+        )
+
+
+def _row_group(
+    g, row0, vals_ref, wts_ref, outv_ref, outw_ref, depth_vmem, samp_vmem,
+    tiles, tile_consts, p, origin_vs,
+    *, Y, H, W, hp, wp, min_depth, max_depth, truncation, trunc_check,
+    w_rate, debug_out,
+):
+    """One ROWS-row sampling sub-block (its own x-band) of a grid block.
+
+    Rows are consecutive in the flattened X*Y order and may straddle an x
+    boundary (row -> (x, y) is recovered per row via //Y and %Y), so grid
+    blocks need no divisibility relation with Y."""
+    R = ROWS
+    ox, oy, oz, vs = origin_vs
 
     vparts, wparts = [], []
     z_off = 0
     for L in tiles:
         consts = tile_consts[L]
-        sub = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0).astype(jnp.float32)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0) + row0
+        i_f = (sub_i // Y).astype(jnp.float32)
+        j_f = (sub_i % Y).astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1).astype(
             jnp.float32) + float(z_off)
         cx = ox + i_f * vs
-        cy = oy + (j0_f + sub) * vs
+        cy = oy + j_f * vs
         cz = oz + lane * vs
         cam0 = p[0] * cx + p[1] * cy + p[2] * cz + p[3]
         cam1 = p[4] * cx + p[5] * cy + p[6] * cz + p[7]
@@ -243,16 +274,16 @@ def _kernel(
         tsdfv = jnp.clip(dist / truncation, -1.0, 1.0)
         valid = (zc > 0) & (dist > trunc_check) & (sampled > 0) & (zc < max_depth)
         new_w = conf * w_rate
-        old_v = vals_ref[:, z_off:z_off + L]
-        old_w = wts_ref[:, z_off:z_off + L]
+        old_v = vals_ref[g * R:(g + 1) * R, z_off:z_off + L]
+        old_w = wts_ref[g * R:(g + 1) * R, z_off:z_off + L]
         total = old_w + new_w
         fused = (old_v * old_w + tsdfv * new_w) / total
         vparts.append(jnp.where(valid, fused, old_v))
         wparts.append(jnp.where(valid, jnp.minimum(total, 1.0), old_w))
         z_off += L
 
-    outv_ref[:, :] = jnp.concatenate(vparts, axis=1)
-    outw_ref[:, :] = jnp.concatenate(wparts, axis=1)
+    outv_ref[g * R:(g + 1) * R, :] = jnp.concatenate(vparts, axis=1)
+    outw_ref[g * R:(g + 1) * R, :] = jnp.concatenate(wparts, axis=1)
 
 
 @functools.partial(
@@ -285,7 +316,7 @@ def fused_integrate(
     """
     X, Y, Z = values_xyz.shape
     H, W = depth_hw.shape
-    assert Y % ROWS == 0 and Z % 8 == 0
+    assert (X * Y) % ROWS == 0 and Z % 8 == 0
     hp = -(-H // 128) * 128
     wp = max(-(-W // 16) * 16, BX)
 
@@ -318,24 +349,32 @@ def fused_integrate(
          jnp.asarray([voxel_size], jnp.float32)]
     ).reshape(1, 16)
 
+    # rows per grid step: BLOCK_ROWS when it divides the flattened row
+    # count (VOX_MOD=8 on both X and Y makes X*Y a multiple of 64), else
+    # the largest power-of-two sub-block that does
+    br = BLOCK_ROWS
+    while (X * Y) % br:
+        br //= 2
+    assert br >= ROWS, (X, Y)
+
     kern = functools.partial(
-        _kernel, Y=Y, Z=Z, H=H, W=W, hp=hp, wp=wp,
+        _kernel, Y=Y, Z=Z, H=H, W=W, hp=hp, wp=wp, block_rows=br,
         min_depth=float(min_depth), max_depth=float(max_depth),
         truncation=float(truncation), trunc_check=float(trunc_check),
         w_rate=float(w_rate), debug_out=debug_out,
     )
     nv, nw = pl.pallas_call(
         kern,
-        grid=(X * Y // ROWS,),
+        grid=(X * Y // br,),
         in_specs=[
-            pl.BlockSpec((ROWS, Z), lambda b: (b, 0)),
-            pl.BlockSpec((ROWS, Z), lambda b: (b, 0)),
+            pl.BlockSpec((br, Z), lambda b: (b, 0)),
+            pl.BlockSpec((br, Z), lambda b: (b, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ROWS, Z), lambda b: (b, 0)),
-            pl.BlockSpec((ROWS, Z), lambda b: (b, 0)),
+            pl.BlockSpec((br, Z), lambda b: (b, 0)),
+            pl.BlockSpec((br, Z), lambda b: (b, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((X * Y, Z), jnp.float32),

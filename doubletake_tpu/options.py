@@ -126,6 +126,10 @@ class Options:
     # hint raycast sample count; 0 = auto (minimal band-safe budget,
     # tools.tsdf.auto_raycast_samples)
     raycast_samples: int = 256
+    # candidate-block mip acceleration for the hint raycast (coarse march
+    # on a 4x min-pooled observed-negative mip; full-res sampling only in
+    # windows around the first 3 candidates — tools.tsdf._build_mip_table)
+    raycast_mip: bool = False
     # write a jax profiler trace for train steps [20, 25) into this dir
     profile_dir: Optional[str] = None
 

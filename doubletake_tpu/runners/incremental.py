@@ -47,6 +47,8 @@ def make_step(model, cfg, hint_h, hint_w, raycast_samples, fusion_max_depth,
     matching encoder runs on 1 image instead of model_num_views.
     """
 
+    use_mip = bool(getattr(opts, "raycast_mip", False)) if opts else False
+
     def _step(variables, tsdf, cur, src, src_feats=None):
         # 1) hint from the running volume, at depth-output resolution
         hint_d, hint_wt, hint_v = raycast(
@@ -58,6 +60,7 @@ def make_step(model, cfg, hint_h, hint_w, raycast_samples, fusion_max_depth,
             min_depth=common.EVAL_MIN_DEPTH,
             max_depth=fusion_max_depth,
             num_samples=raycast_samples,
+            use_mip=use_mip,
         )
         valid = hint_v & (hint_wt >= HINT_WEIGHT_THRESHOLD)
         hint = {
@@ -100,12 +103,15 @@ def make_split_steps(model, cfg, hint_h, hint_w, raycast_samples,
     test_incremental.py:273-288). Slower than the fused step — use only for
     profiling (--split_timing)."""
 
+    use_mip = bool(getattr(opts, "raycast_mip", False)) if opts else False
+
     @jax.jit
     def hint_step(tsdf, cur):
         hint_d, hint_wt, hint_v = raycast(
             tsdf, cur["world_T_cam_b44"][0], cur["invK_s0_b44"][0],
             hint_h, hint_w, min_depth=common.EVAL_MIN_DEPTH,
             max_depth=fusion_max_depth, num_samples=raycast_samples,
+            use_mip=use_mip,
         )
         valid = hint_v & (hint_wt >= HINT_WEIGHT_THRESHOLD)
         return {

@@ -608,26 +608,87 @@ def _trilinear_from_row(row, fx, fy, fz, zoff, seg):
     return val, wt, wmin
 
 
+MIP_FACTOR = 4  # voxels per mip cell edge (candidate-block acceleration)
+MIP_WINDOW_VOXELS = 10  # forward full-res window per candidate, in voxels:
+# covers the worst-case axis-aligned early-flag distance (f + 1 = 5 voxels
+# from a sample to its cell's halo) with ~2x slack for oblique incidence;
+# steeper grazing rays degrade to hint misses
+
+
+def _build_mip_table(tsdf: TSDF, weight_epsilon: float = 1e-4):
+    """Conservative observed-negative mip for candidate-block raycasting.
+
+    Each mip cell holds the MIN of ``where(weight > eps, value, +1)`` over
+    its MIP_FACTOR^3 voxel block, further min-pooled over the 3^3 mip
+    neighborhood. The halo guarantees: if a trilinear sample's contributing
+    corners include an observed voxel with value <= 0 (the condition for a
+    full-res coarse-march crossing at that sample), then the mip cell
+    CONTAINING the sample reads <= 0 — corners live at most 1 voxel from
+    the sample, inside the halo. So a mip march at the same step detects a
+    superset of the full-res march's crossing samples; false positives are
+    resolved by full-res window checks (see raycast_table).
+
+    Packed one (x, y) mip column per 128-lane row (Zm <= 128 z cells in
+    lanes): the table is ~64^3 x smaller than the volume, so its gathers
+    run at the measured small-table rate (~2.2 ns/row vs ~11 from HBM).
+    """
+    X, Y, Z = tsdf.dims
+    f = MIP_FACTOR
+    assert X % f == 0 and Y % f == 0, (X, Y)
+    Zp = -(-Z // f) * f
+    Xm, Ym, Zm = X // f, Y // f, Zp // f
+    assert Zm <= 128, Zm
+    v = jnp.where(tsdf.weights > weight_epsilon, tsdf.values, 1.0)
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, Zp - Z)), constant_values=1.0)
+
+    def pool_axis(x, ax, n_out):
+        """Exact (f+2)-window stride-f min pool along ax (1-voxel halo):
+        min(block_min[i], last[i-1], first[i+1]) — all reshape/slice based."""
+        x = jnp.moveaxis(x, ax, -1)
+        blocks = x.reshape(x.shape[:-1] + (n_out, f))
+        m0 = blocks.min(axis=-1)
+        first = blocks[..., 0]
+        last = blocks[..., f - 1]
+        prev_last = jnp.concatenate([last[..., :1], last[..., :-1]], axis=-1)
+        next_first = jnp.concatenate([first[..., 1:], first[..., -1:]], axis=-1)
+        m = jnp.minimum(m0, jnp.minimum(prev_last, next_first))
+        return jnp.moveaxis(m, -1, ax)
+
+    m = pool_axis(v, 0, Xm)
+    m = pool_axis(m, 1, Ym)
+    m = pool_axis(m, 2, Zm)
+    table = jnp.pad(m, ((0, 0), (0, 0), (0, 128 - Zm)), constant_values=1.0)
+    return table.reshape(Xm * Ym, 128).astype(jnp.bfloat16), Zm
+
+
 @struct.dataclass
 class RayTable:
     """Prebuilt gather table for raycasting (see _build_ray_table).
 
     For a STATIC volume (offline pass-2 / revisit hint meshes) build once
     per scan with ``build_ray_table`` and raycast many cameras against it —
-    the full-volume repack is the table cost, not the per-camera cost."""
+    the full-volume repack is the table cost, not the per-camera cost.
+
+    ``mip`` (optional) enables the candidate-block coarse march (see
+    _build_mip_table / raycast_table)."""
 
     table: jnp.ndarray
     origin: jnp.ndarray
     voxel_size: float = struct.field(pytree_node=False)
     zbp: int = struct.field(pytree_node=False)
     dims: tuple = struct.field(pytree_node=False)
+    mip: jnp.ndarray | None = None
+    mip_zm: int = struct.field(pytree_node=False, default=0)
 
 
-def build_ray_table(tsdf: TSDF) -> RayTable:
+def build_ray_table(tsdf: TSDF, with_mip: bool = False) -> RayTable:
     table, zbp = _build_ray_table(tsdf)
+    mip, mip_zm = (None, 0)
+    if with_mip:
+        mip, mip_zm = _build_mip_table(tsdf)
     return RayTable(table=table, origin=tsdf.origin,
                     voxel_size=tsdf.voxel_size, zbp=zbp,
-                    dims=tuple(tsdf.dims))
+                    dims=tuple(tsdf.dims), mip=mip, mip_zm=mip_zm)
 
 
 def auto_raycast_samples(
@@ -664,6 +725,7 @@ def raycast(
     max_depth: float = 5.0,
     num_samples: int = 256,
     weight_epsilon: float = 1e-4,
+    use_mip: bool = False,
 ):
     """Render hint depth + confidence by ray-marching the TSDF.
 
@@ -691,9 +753,9 @@ def raycast(
       valid  — crossing found.
     """
     return raycast_table(
-        build_ray_table(tsdf), world_T_cam_44, invK_44, height, width,
-        min_depth=min_depth, max_depth=max_depth, num_samples=num_samples,
-        weight_epsilon=weight_epsilon,
+        build_ray_table(tsdf, with_mip=use_mip), world_T_cam_44, invK_44,
+        height, width, min_depth=min_depth, max_depth=max_depth,
+        num_samples=num_samples, weight_epsilon=weight_epsilon,
     )
 
 
@@ -781,25 +843,117 @@ def raycast_table(
             row, f[:, 0], f[:, 1], f[:, 2], i[:, 2] - zblk * 4, zblk % 2
         )
 
-    # ---- coarse pass: bracket the first crossing ----
-    vals_flat, _, wmins_flat = sample(zs.reshape(-1))
-    vals = vals_flat.reshape(Sc, n)
-    wts = wmins_flat.reshape(Sc, n)
+    if rt.mip is not None:
+        # ---- candidate-block coarse march on the mip (VERDICT r3 #2) ----
+        # Detection guarantee: if the dense coarse march crosses at pair
+        # (s, s+1), sample s+1 reads an observed-negative corner, so its
+        # containing mip cell flags (see _build_mip_table) — the first flag
+        # c of that run satisfies c <= s+1, i.e. the crossing is never
+        # BEFORE a run. But the mip min-pools a (f+2)^3 voxel neighborhood,
+        # so a run starts up to ~(f+1) voxels (more at oblique incidence)
+        # before the crossing: each candidate (= flag RUN START) gets a
+        # FORWARD window long enough to cover that early-flag distance at
+        # the nominal step, and the full-res crossing rule runs on the
+        # window's consecutive zs pairs — bit-identical depths to the dense
+        # march wherever both detect. Losses (graceful hint miss): >3
+        # false-positive runs before the true crossing, grazing incidence
+        # beyond MIP_WINDOW_VOXELS, clip-shortened steps.
+        Ym_ = Y // MIP_FACTOR
 
-    # gate on the min CONTRIBUTING corner weight: blended weights fake
-    # observedness at observed/unobserved boundaries (see _trilinear_from_row)
-    observed = wts > weight_epsilon
-    prev_vals, cur_vals = vals[:-1], vals[1:]
-    crossing = (prev_vals > 0) & (cur_vals <= 0) & observed[:-1] & observed[1:]
-    crossing = crossing & hit_box[None]
+        def mip_sample(zs_flat):
+            m_ = zs_flat.shape[0] // n
+            v = ov[None] + zs_flat.reshape(m_, 1, n) * dv[None]
+            v = jnp.clip(
+                v.transpose(0, 2, 1).reshape(-1, 3),
+                0.0,
+                jnp.asarray([X - 1, Y - 1, Z - 1], jnp.float32) - 1e-4,
+            )
+            cell = jnp.floor(v).astype(jnp.int32) // MIP_FACTOR
+            row = jnp.take(rt.mip, cell[:, 0] * Ym_ + cell[:, 1], axis=0)
+            lane = jnp.arange(128, dtype=jnp.int32)
+            return jnp.sum(
+                jnp.where(lane[None] == cell[:, 2:3],
+                          row.astype(jnp.float32), 0.0),
+                axis=-1,
+            )
 
-    first = jnp.argmax(crossing, axis=0)  # (N,) first True (0 if none)
-    valid = jnp.any(crossing, axis=0)
+        mvals = mip_sample(zs.reshape(-1)).reshape(Sc, n)
+        flags = (mvals <= 0.0) & hit_box[None]
+        # candidates = flag run starts (a run's interior samples are the
+        # same surface's halo — separate candidates there would waste the
+        # budget inside one run, as the r4 bisection of the all-invalid
+        # failure showed)
+        runs = flags & ~jnp.concatenate(
+            [jnp.zeros((1, n), bool), flags[:-1]], axis=0
+        )
+        sidx = jnp.arange(Sc, dtype=jnp.int32)[:, None]
+        c1 = jnp.argmax(runs, axis=0)
+        a1 = jnp.any(runs, axis=0)
+        m2 = runs & (sidx > c1[None])
+        c2 = jnp.argmax(m2, axis=0)
+        a2 = jnp.any(m2, axis=0)
+        m3 = m2 & (sidx > c2[None])
+        c3 = jnp.argmax(m3, axis=0)
+        a3 = jnp.any(m3, axis=0)
 
-    v0 = jnp.take_along_axis(prev_vals, first[None], axis=0)[0]
-    v1 = jnp.take_along_axis(cur_vals, first[None], axis=0)[0]
+        # forward window: early-flag distance (MIP_WINDOW_VOXELS) at the
+        # nominal (unclipped) step, one sample of back-slack, pairs across
+        # consecutive window samples. Static shape; reuses the zs grid.
+        dz_nom = (max_depth - min_depth) / (Sc - 1)
+        fwd = int(np.ceil(MIP_WINDOW_VOXELS * rt.voxel_size / dz_nom)) + 1
+        Wn = min(Sc, fwd + 2)                               # samples/window
+        cand = jnp.stack([c1, c2, c3], axis=0)              # (3, N)
+        offs = jnp.arange(-1, Wn - 1, dtype=jnp.int32)
+        widx = jnp.clip(
+            cand[:, None] + offs[None, :, None], 0, Sc - 1
+        ).reshape(3 * Wn, n)
+        zw = jnp.take_along_axis(zs, widx, axis=0)          # (3*Wn, N)
+        wvals_flat, _, wwm_flat = sample(zw.reshape(-1))
+        wvals = wvals_flat.reshape(3 * Wn, n)
+        wobs = wwm_flat.reshape(3 * Wn, n) > weight_epsilon
+
+        # pair starts: consecutive offsets within each candidate's window
+        p0 = jnp.asarray(
+            [c * Wn + j for c in range(3) for j in range(Wn - 1)], jnp.int32
+        )
+        pv0 = wvals[p0]
+        pv1 = wvals[p0 + 1]                                 # (3*(Wn-1), N)
+        pobs = wobs[p0] & wobs[p0 + 1]
+        cand_ok = jnp.concatenate(
+            [jnp.broadcast_to(a[None], (Wn - 1, n)) for a in (a1, a2, a3)],
+            axis=0,
+        )
+        # a clipped window index duplicates a sample (pair of equal index):
+        # (v > 0) & (v <= 0) is then False by construction, no extra mask
+        pcross = (pv0 > 0) & (pv1 <= 0) & pobs & cand_ok & hit_box[None]
+
+        pfirst = jnp.argmax(pcross, axis=0)                 # windows are in
+        valid = jnp.any(pcross, axis=0)                     # ray order
+        start = jnp.take(p0, pfirst)                        # (N,)
+        v0 = jnp.take_along_axis(wvals, start[None], axis=0)[0]
+        v1 = jnp.take_along_axis(wvals, start[None] + 1, axis=0)[0]
+        z_lo = jnp.take_along_axis(zw, start[None], axis=0)[0]
+    else:
+        # ---- dense coarse pass: bracket the first crossing ----
+        vals_flat, _, wmins_flat = sample(zs.reshape(-1))
+        vals = vals_flat.reshape(Sc, n)
+        wts = wmins_flat.reshape(Sc, n)
+
+        # gate on the min CONTRIBUTING corner weight: blended weights fake
+        # observedness at observed/unobserved boundaries (_trilinear_from_row)
+        observed = wts > weight_epsilon
+        prev_vals, cur_vals = vals[:-1], vals[1:]
+        crossing = (prev_vals > 0) & (cur_vals <= 0) & observed[:-1] & observed[1:]
+        crossing = crossing & hit_box[None]
+
+        first = jnp.argmax(crossing, axis=0)  # (N,) first True (0 if none)
+        valid = jnp.any(crossing, axis=0)
+
+        v0 = jnp.take_along_axis(prev_vals, first[None], axis=0)[0]
+        v1 = jnp.take_along_axis(cur_vals, first[None], axis=0)[0]
+        z_lo = jnp.take_along_axis(zs, first[None], axis=0)[0]  # (N,)
+
     frac = v0 / jnp.maximum(v0 - v1, 1e-12)
-    z_lo = jnp.take_along_axis(zs, first[None], axis=0)[0]      # (N,)
     depth_coarse = z_lo + frac * dz
 
     # ---- fine pass: re-march the bracketing interval ----

@@ -120,7 +120,7 @@ def _make_tsdf():
     )
 
 
-def bench_raycast(num_samples: int = 256):
+def bench_raycast(num_samples: int = 256, use_mip: bool = False):
     from doubletake_tpu.tools.tsdf import raycast
 
     tsdf = _make_tsdf()
@@ -141,7 +141,8 @@ def bench_raycast(num_samples: int = 256):
             d = None
             for _ in range(reps):
                 d, wt, v = raycast(t, pose, invK, 96, 128, min_depth=0.5,
-                                   max_depth=3.5, num_samples=num_samples)
+                                   max_depth=3.5, num_samples=num_samples,
+                                   use_mip=use_mip)
                 vol_vals = vol_vals + d[0, 0] * 1e-30
                 t = tsdf.replace(values=vol_vals)
             return d
@@ -149,7 +150,8 @@ def bench_raycast(num_samples: int = 256):
         return lambda: fn(tsdf.values)
 
     m, times = marginal(make_fn)
-    print(f"raycast ns={num_samples}: marginal {m*1e3:.1f} ms  (times {times})")
+    print(f"raycast ns={num_samples} mip={use_mip}: "
+          f"marginal {m*1e3:.1f} ms  (times {times})")
 
 
 def bench_table():
@@ -345,6 +347,92 @@ def bench_forward_parts(compute_dtype="float32", batch=1):
     part("cv_encoder+decoder", cvnet_dec, cv_in, extra=tuple(cur_feats))
 
 
+def bench_cv_pieces(batch=8):
+    """Decompose the fused cost-volume path at the flagship shape:
+    geometry precompute (XLA) vs the pallas_call vs the full module apply
+    (wrapper transposes, hint resize, argmax). The VERDICT round-3 gap —
+    parts-sum vs full-forward — lives somewhere in here."""
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from doubletake_tpu.models.cost_volume import FeatureMeshHintVolume
+    from doubletake_tpu.ops.pallas.fused_volume import (
+        _precompute_geometry, fused_feature_volume, pad_mlp_weights,
+    )
+
+    b, h, w, c, k = batch, 96, 128, 16, 7
+    rng = np.random.RandomState(0)
+    cur = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    src = jnp.asarray(rng.randn(b, k, h, w, c), jnp.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (b, k, 1, 1))
+    poses[:, :, 0, 3] = rng.randn(b, k) * 0.1
+    poses[:, :, 2, 3] = rng.randn(b, k) * 0.05
+    src_T_cur = jnp.asarray(poses)
+    cur_T_src = jnp.linalg.inv(src_T_cur)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 64.0
+    K[0, 2], K[1, 2] = w / 2, h / 2
+    Kb = jnp.asarray(np.tile(K, (b, k, 1, 1)))
+    invK = jnp.asarray(np.tile(np.linalg.inv(K), (b, 1, 1)))
+    hint = {
+        "depth_hint_bhw1": jnp.full((b, h, w, 1), 2.0),
+        "hint_mask_bhw1": jnp.ones((b, h, w, 1), bool),
+        "sampled_weights_bhw1": jnp.full((b, h, w, 1), 0.5),
+    }
+    hint_bhw3 = jnp.concatenate(
+        [hint["depth_hint_bhw1"],
+         hint["hint_mask_bhw1"].astype(jnp.float32),
+         hint["sampled_weights_bhw1"]], axis=-1)
+
+    vol = FeatureMeshHintVolume(use_pallas=True)
+    vars_ = vol.init(jax.random.PRNGKey(0), cur[:1], src[:1], src_T_cur[:1],
+                     cur_T_src[:1], Kb[:1], invK[:1], 0.25, 5.0,
+                     hint={k_: v[:1] for k_, v in hint.items()})
+    weights = jax.jit(
+        lambda p: pad_mlp_weights(p["mlp"], p["hint_mlp"])
+    )(vars_["params"])
+
+    planes = jnp.exp(jnp.log(0.25) + jnp.log(5.0 / 0.25)
+                     * jnp.linspace(0.0, 1.0, 64))
+
+    def chain(fn):
+        """make_fn factory: rep-chain on the cur features."""
+        def make_fn(reps):
+            @jax.jit
+            def f(x, s):
+                out = None
+                for _ in range(reps):
+                    out = fn(x)
+                    x = x + jax.tree_util.tree_leaves(out)[0].reshape(-1)[0] * 1e-30
+                return out
+            ctr = [0]
+
+            def call():
+                ctr[0] += 1
+                return f(cur * (1.0 + ctr[0] * 1e-7), jnp.float32(ctr[0]))
+            return call
+        return make_fn
+
+    geo_fn = jax.vmap(
+        lambda sk, st, ct, ik: _precompute_geometry(sk, st, ct, ik, planes, h, w)
+    )
+
+    m, times = marginal(chain(
+        lambda x: geo_fn(Kb, src_T_cur + x.reshape(-1)[0] * 1e-30,
+                         cur_T_src, invK)["meta_rows"]))
+    print(f"cv geometry precompute b={batch}: marginal {m*1e3:.2f} ms  (times {times})")
+
+    m, times = marginal(chain(
+        lambda x: fused_feature_volume(
+            x, src, src_T_cur, cur_T_src, Kb, invK, 0.25, 5.0, weights,
+            hint_bhw3=hint_bhw3, use_hint=True)[0]))
+    print(f"cv fused total (geo+kernel) b={batch}: marginal {m*1e3:.2f} ms  (times {times})")
+
+    m, times = marginal(chain(
+        lambda x: vol.apply(vars_, x, src, src_T_cur, cur_T_src, Kb, invK,
+                            0.25, 5.0, hint=hint)[0]))
+    print(f"cv module apply b={batch}: marginal {m*1e3:.2f} ms  (times {times})")
+
+
 def bench_train(batch=4):
     """First-ever training perf row (VERDICT r2 weak #3): in-graph marginal
     cost of one flagship train step (fwd+bwd, XLA volume path) on the chip,
@@ -433,6 +521,9 @@ def main():
         bench_cv(use_pallas=False)
     if "cv_pallas" in which:
         bench_cv(use_pallas=True)
+    if "raycast_mip" in which:
+        bench_raycast(int(_os.environ.get("RAYCAST_NS", "160")), use_mip=True)
+        bench_raycast(int(_os.environ.get("RAYCAST_NS", "160")), use_mip=False)
     if "raycast" in which:
         bench_raycast()
     if "raycast_sweep" in which:
@@ -468,6 +559,8 @@ def main():
         bench_forward(batch=8)
     if "forward_batch_bf16" in which:
         bench_forward("bfloat16", batch=8)
+    if "cv_pieces" in which:
+        bench_cv_pieces()
     if "forward_parts" in which:
         bench_forward_parts()
     if "forward_parts_bf16" in which:

@@ -145,6 +145,48 @@ def test_raycast_recovers_fused_wall():
     assert np.isnan(d[~v]).all()
 
 
+def test_raycast_mip_matches_dense():
+    """The candidate-block mip march (use_mip=True) must agree with the
+    dense coarse march: identical depths where both valid, and only a small
+    validity sliver lost to the 3-candidate budget (grazing rays)."""
+    vol = small_volume()
+    cfg = FusionConfig(min_depth=0.5, max_depth=3.5)
+    out = integrate_depth(
+        vol, jnp.asarray(wall_depth()), jnp.eye(4), jnp.asarray(make_K()), cfg
+    )
+    # second slanted-ish frame so geometry isn't a single trivial plane
+    cam2 = np.eye(4, dtype=np.float32)
+    cam2[0, 3] = 0.15
+    out = integrate_depth(
+        out, jnp.asarray(wall_depth(1.8)), jnp.asarray(cam2),
+        jnp.asarray(make_K()), cfg,
+    )
+    K = make_K()
+    args = (jnp.eye(4), jnp.asarray(np.linalg.inv(K)), H, W)
+    kw = dict(min_depth=0.5, max_depth=3.0, num_samples=200)
+    d0, w0, v0 = raycast(out, *args, **kw)
+    d1, w1, v1 = raycast(out, *args, use_mip=True, **kw)
+    v0, v1 = np.asarray(v0), np.asarray(v1)
+    d0, d1 = np.asarray(d0), np.asarray(d1)
+    both = v0 & v1
+    assert both.mean() > 0.5
+    # window sampling re-runs the exact dense crossing rule at the same
+    # sample depths, so agreeing pixels agree bit-exactly
+    np.testing.assert_array_equal(d0[both], d1[both])
+    assert (v0 != v1).mean() < 0.05, (v0.mean(), v1.mean())
+
+
+def test_raycast_mip_empty_volume_all_invalid():
+    vol = small_volume()
+    K = make_K()
+    depth, weights, valid = raycast(
+        vol, jnp.eye(4), jnp.asarray(np.linalg.inv(K)), 16, 24,
+        min_depth=0.5, max_depth=3.0, num_samples=64, use_mip=True,
+    )
+    assert not np.asarray(valid).any()
+    assert np.isnan(np.asarray(depth)).all()
+
+
 def test_raycast_empty_volume_all_invalid():
     vol = small_volume()
     K = make_K()
