@@ -163,7 +163,7 @@ def _process_rowblock(
     cur_feats_ref, ix_ref, iy_ref, meta_ref,
     pose_meta_ref, hint_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref, out_ref,
-    warp_scratch, k, use_hint, h,
+    k, use_hint, h,
 ):
     """One (plane, 8-row block): warp + metadata + MLPs for all R rows as
     stacked (R*W, ...) matmuls. The per-row formulation issued ~46 small
@@ -180,9 +180,11 @@ def _process_rowblock(
         [cur_feats_ref[0, sub] for sub in range(R)], axis=0
     )
 
-    # metadata rows -> columns: one transpose matmul per row, stacked along
-    # the (128-aligned) sublane axis. (Stacking the (C_M=38, W) slabs FIRST
-    # would concat at non-8-aligned sublane offsets, which Mosaic rejects.)
+    # metadata rows -> columns: one transpose matmul per sub-row, stacked
+    # along the (128-aligned) sublane axis. (Batching all R subs into one
+    # matmul then re-slicing requires axis-0 concat of lane-slices at
+    # offsets 38*sub — Mosaic hardware lowering rejects it: "result/input
+    # offset mismatch on non-concat dimension".)
     meta_cols = jnp.concatenate(
         [
             jax.lax.dot_general(
@@ -196,10 +198,28 @@ def _process_rowblock(
     z_cols = meta_cols[:, off["z"]: off["z"] + k]       # (RW, k)
     mask_cols = (z_cols > 0).astype(jnp.float32)
 
-    def view_body(ki, _):
-        ix_rows = ix_ref[0, pl.ds(ki, 1), p][0]         # (R, W)
-        iy_rows = iy_ref[0, pl.ds(ki, 1), p][0]
-        z_rows = meta_ref[0, p, :, pl.ds(ki, 1)][:, 0]  # (R, W): z channel ki
+    # ONE transpose matmul for the sampling coordinates of ALL views and
+    # both axes (2*k*R columns): the per-view-per-plane (W, 2R) transposes
+    # were 5k+ narrow (N=16) matmuls/frame of pure issue overhead.
+    coord_stacked = jnp.concatenate(
+        [ix_ref[0, ki, p] for ki in range(k)]
+        + [iy_ref[0, ki, p] for ki in range(k)],
+        axis=0,
+    )                                                   # (2kR, W)
+    coord_cols = jax.lax.dot_general(
+        identity, coord_stacked, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (W, 2kR)
+
+    # Per-view warp, PYTHON-unrolled (k is static): no scratch round-trip,
+    # and Mosaic can overlap view i's VPU tent construction with view
+    # i-1's MXU matmuls — the fori_loop version serialized the
+    # VPU->MXU->VPU->MXU chain per view (measured 17.9 ms; the chain's
+    # MXU-busy fraction is ~30%).
+    warps = []
+    for ki in range(k):
+        iy_rows = iy_ref[0, ki, p]                      # (R, W)
+        z_rows = meta_ref[0, p, :, pl.ds(ki, 1)][:, 0]  # (R, W): z chan ki
 
         # shared source-row band for the whole 8-row block: pixels that can
         # actually contribute are in front of the camera and sample inside
@@ -214,19 +234,8 @@ def _process_rowblock(
             ((vmin.astype(jnp.int32) - 1) // 8) * 8, 0, h - BAND
         )
 
-        # ONE transpose matmul for both coordinate sets of all R rows
-        # (a dim-0-contracted dot_general would force Mosaic to transpose
-        # the operand per call — measured ~40% of kernel time in round 1)
-        xy_cols = jax.lax.dot_general(
-            identity, jnp.concatenate([ix_rows, iy_rows], axis=0),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # (W, 2R)
-        x0_cols = jnp.floor(xy_cols[:, :R])             # (W, R)
-        wx_cols = xy_cols[:, :R] - x0_cols
-        y0f_cols = jnp.floor(xy_cols[:, R:])
-        wy_cols = xy_cols[:, R:] - y0f_cols
-        y0_cols = y0f_cols - band0.astype(jnp.float32)
+        x_cols = coord_cols[:, ki * R:(ki + 1) * R]      # (W, R)
+        y_cols = coord_cols[:, (k + ki) * R:(k + ki + 1) * R]
 
         # stacked one-hots: x-interp (RW, u) and y-mix (RW, BAND), built as
         # TENT functions max(0, 1 - |u - ix|) — bit-identical to the
@@ -236,13 +245,13 @@ def _process_rowblock(
         Wx_stack = jnp.concatenate(
             [
                 jnp.maximum(
-                    0.0, 1.0 - jnp.abs(u_iota_r - xy_cols[:, r:r + 1])
+                    0.0, 1.0 - jnp.abs(u_iota_r - x_cols[:, r:r + 1])
                 )
                 for r in range(R)
             ],
             axis=0,
         ).astype(jnp.bfloat16)                          # (RW, u)
-        yb_cols = xy_cols[:, R:] - band0.astype(jnp.float32)
+        yb_cols = y_cols - band0.astype(jnp.float32)
         Wy_stack = jnp.concatenate(
             [
                 jnp.maximum(
@@ -256,26 +265,21 @@ def _process_rowblock(
         # band as (u=W, BAND*C): ONE aligned dynamic lane-slice of the
         # pre-transposed (W, H*C) source matrix (r-major, c-minor lanes)
         band_off = pl.multiple_of(band0 * CH, 128)      # band0 is 8-aligned
-        # Everything from here to the fold's fp32 accumulate runs in bf16:
-        # the fold matmul rounds its operands to bf16 regardless, so fp32
-        # intermediates only bought VPU/copy time — the y-mix stage was
-        # 7.1 of the kernel's 23.5 ms with fp32 (RW, BAND*C) intermediates
-        # (round-4 ablation)
         band_cols = src_vmem[ki, :, pl.ds(band_off, BAND * CH)]
+        # dtype scheme (hardware-measured): big matmuls take bf16 OPERANDS
+        # (full MXU rate) with fp32 accumulators — Mosaic requires 32-bit
+        # matmul acc on hardware ("Expected matmul acc to be 32-bit"), and
+        # casting the (RW, BAND*C) results down to bf16 costs more VPU time
+        # than a bf16 fold matmul saves. Mix and fold stay fp32 (fold is
+        # 117 MFLOP/unit — immaterial even at fp32 MXU rate).
         A = jnp.dot(Wx_stack, band_cols,
-                    preferred_element_type=jnp.bfloat16)  # (RW, BAND*C)
+                    preferred_element_type=jnp.float32)   # (RW, BAND*C) fp32
 
-        # row mix as two constant matmuls (MXU)
+        # row mix: expand on the MXU, mix on the VPU, fold on the MXU
         Wy_exp = jnp.dot(Wy_stack, expand_E,
-                         preferred_element_type=jnp.bfloat16)
-        warped = jnp.dot(A * Wy_exp, fold_F,
-                         preferred_element_type=jnp.float32)  # (RW, C)
-        warp_scratch[pl.ds(ki, 1)] = warped[None]
-        return 0
-
-    jax.lax.fori_loop(0, k, view_body, 0, unroll=False)
-
-    warps = [warp_scratch[ki] for ki in range(k)]       # (RW, C) each
+                         preferred_element_type=jnp.float32)
+        warps.append(jnp.dot(A * Wy_exp, fold_F,
+                             preferred_element_type=jnp.float32))  # (RW, C)
     dots = [
         (warps[ki] * cur_cols).sum(axis=1, keepdims=True)
         * mask_cols[:, ki:ki + 1]
@@ -343,7 +347,7 @@ def _kernel(
     plane_ref, pose_meta_ref, hint_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
-    out_ref, src_vmem, warp_scratch, copy_sem, *, num_views: int,
+    out_ref, src_vmem, copy_sem, *, num_views: int,
     use_hint: bool, h: int,
 ):
     W, C = LANES, CH
@@ -377,7 +381,7 @@ def _kernel(
     expand_E = (rc_div == r_row).astype(jnp.bfloat16)
     rc_mod = jax.lax.broadcasted_iota(jnp.int32, (BAND * C, C), 0) % C
     c_col = jax.lax.broadcasted_iota(jnp.int32, (BAND * C, C), 1)
-    fold_F = (rc_mod == c_col).astype(jnp.bfloat16)
+    fold_F = (rc_mod == c_col).astype(jnp.float32)  # fp32: folds the fp32 mix
     consts = (identity, u_iota_r, r_iota, expand_E, fold_F)
 
     for p in range(PLANES_PER_STEP):
@@ -388,7 +392,7 @@ def _kernel(
             pose_meta_ref, hint_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
             hw1_ref, hb1_ref, hw2_ref, hb2_ref, hw3_ref, hb3_ref,
-            out_ref, warp_scratch, num_views, use_hint, h,
+            out_ref, num_views, use_hint, h,
         )
 
 
@@ -524,7 +528,6 @@ def fused_feature_volume(
         out_specs=pl.BlockSpec((1, P, R, w), lambda bi, d, y: (bi, d, y, 0)),
         scratch_shapes=[
             pltpu.VMEM((k, LANES, h * c), jnp.bfloat16),
-            pltpu.VMEM((k, ROWS_PER_STEP * LANES, CH), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         out_shape=jax.ShapeDtypeStruct((b, D, h, w), jnp.float32),

@@ -49,15 +49,22 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LSUB = 32   # z sub-tile lanes (band statistics measured at this width)
-ROWS = 8    # volume rows (consecutive in the flattened X*Y order) per
-            # sampling sub-block — the x-band statistics were measured at
-            # this height, so banding stays at 8 rows
+ROWS = 32   # volume rows (consecutive in the flattened X*Y order) per
+            # sampling sub-block. The x-band span of a sub-tile is driven
+            # by its z extent, not its row count (rows in a group share x
+            # and step only in y): measured spans at the bench pose are
+            # p99 = 56 px at 8 rows vs 61 px at 32 — so 4x taller groups
+            # cost almost no extra full-width fallbacks while cutting the
+            # sub-tile count (branch sets, small-matmul issues, VMEM
+            # round-trips) 4x: 24.3 -> ~? ms (round 4)
 BLOCK_ROWS = 64  # volume rows per GRID STEP (ROWS-row sub-blocks inside):
             # the per-step fixed cost (sync + block DMA latency) dominated
             # the round-3 kernel at 8 rows/step (X*Y/8 ~ 14k steps for the
@@ -136,7 +143,7 @@ def _sample_tile(ix, iy, needf, x0, bxn, depth_vmem, consts, hp):
 
 
 def _kernel(
-    vals_ref, wts_ref, depth_any_ref, scal_ref,
+    vals_ref, wts_ref, depth_any_ref, scal_ref, x0_ref, flags_ref,
     outv_ref, outw_ref,
     depth_vmem, samp_vmem, copy_sem,
     *, Y: int, Z: int, H: int, W: int, hp: int, wp: int, block_rows: int,
@@ -181,7 +188,7 @@ def _kernel(
     for g in range(block_rows // R):
         _row_group(
             g, b * block_rows + g * R, vals_ref, wts_ref, outv_ref, outw_ref,
-            depth_vmem, samp_vmem, tiles, tile_consts, p,
+            depth_vmem, samp_vmem, x0_ref, flags_ref, tiles, tile_consts, p,
             (ox, oy, oz, vs), Y=Y, H=H, W=W, hp=hp, wp=wp,
             min_depth=min_depth, max_depth=max_depth, truncation=truncation,
             trunc_check=trunc_check, w_rate=w_rate, debug_out=debug_out,
@@ -190,7 +197,7 @@ def _kernel(
 
 def _row_group(
     g, row0, vals_ref, wts_ref, outv_ref, outw_ref, depth_vmem, samp_vmem,
-    tiles, tile_consts, p, origin_vs,
+    x0_ref, flags_ref, tiles, tile_consts, p, origin_vs,
     *, Y, H, W, hp, wp, min_depth, max_depth, truncation, trunc_check,
     w_rate, debug_out,
 ):
@@ -204,7 +211,7 @@ def _row_group(
 
     vparts, wparts = [], []
     z_off = 0
-    for L in tiles:
+    for t_idx, L in enumerate(tiles):
         consts = tile_consts[L]
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0) + row0
         i_f = (sub_i // Y).astype(jnp.float32)
@@ -233,26 +240,32 @@ def _row_group(
         ix = jnp.where(need, ix, -1.0)
         iy = jnp.where(need, iy, -1.0)
 
-        ix_lo = jnp.min(jnp.where(need, ix, jnp.inf))
-        ix_hi = jnp.max(jnp.where(need, ix, -jnp.inf))
-        active = jnp.isfinite(ix_lo)
-        x0 = jnp.where(active, ix_lo, 0.0)
-        x0 = jnp.clip(jnp.floor(x0 / 16.0) * 16.0, 0.0, float(wp - BX))
-        fits = ix_hi < x0 + BX
+        # band decision from the HOST-SIDE (XLA) per-voxel precompute,
+        # delivered per sub-tile through SMEM: flag 0 = skip (no voxel can
+        # contribute), 1 = banded sample at x0, 2 = full-width sample. The
+        # round-3/4 kernel derived these IN-kernel via vector min/max
+        # reductions + branches on the resulting scalars — every such
+        # vector->scalar branch is a pipeline sync, and at ~44k sub-tiles
+        # that control overhead dominated the kernel (27 ms measured vs
+        # ~5 ms of actual matmul+VPU work). SMEM-scalar branches are the
+        # cheap kind (the block-sparse skipping pattern).
+        flag = flags_ref[0, g, t_idx]
+        x0i = x0_ref[0, g, t_idx]
+        x0f = x0i.astype(jnp.float32)
 
-        @pl.when(active & fits)
+        @pl.when(flag == 1)
         def _banded():
             samp_vmem[:, :L] = _sample_tile(
-                ix, iy, needf, x0, BX, depth_vmem, consts, hp
+                ix, iy, needf, x0f, BX, depth_vmem, consts, hp
             )
 
-        @pl.when(active & jnp.logical_not(fits))
+        @pl.when(flag == 2)
         def _full():
             samp_vmem[:, :L] = _sample_tile(
                 ix, iy, needf, jnp.float32(0.0), wp, depth_vmem, consts, hp
             )
 
-        @pl.when(jnp.logical_not(active))
+        @pl.when(flag == 0)
         def _skip():
             samp_vmem[:, :L] = jnp.zeros((R, L), jnp.float32)
 
@@ -357,6 +370,68 @@ def fused_integrate(
         br //= 2
     assert br >= ROWS, (X, Y)
 
+    # ---- host-side (XLA) band/skip decisions per (row-group, z-tile) ----
+    # The in-kernel variant derived these from per-voxel vector min/max +
+    # branches on the resulting scalars; each vector->scalar branch is a
+    # pipeline sync, and at X*Y/8 * ceil(Z/LSUB) sub-tiles that control
+    # overhead dominated the kernel (27 of ~29 ms measured, round 4).
+    # The decisions are EXACT per-voxel reductions, not box-corner bounds:
+    # corner bounds cannot classify boxes whose z_cam crosses 0 (the whole
+    # first z-tile whenever the camera plane cuts the volume) and sent 20%
+    # of sub-tiles down the 4x-wide full-width path — measured SLOWER than
+    # the in-kernel variant (35.7 vs 29 ms). Here XLA recomputes the
+    # kernel's own need/ix formulas (fused into the segment min/max, so
+    # the per-voxel intermediates never hit HBM) with a +-1 px margin for
+    # fma/rint association noise; per-voxel `need` gating inside the
+    # kernel remains authoritative for correctness either way. Exact flags
+    # at the bench pose: 73% skip, 27% banded, 0.2% full-width.
+    R_ = ROWS
+    tiles_l = [LSUB] * (Z // LSUB) + ([Z % LSUB] if Z % LSUB else [])
+    T = len(tiles_l)
+    n_groups = X * Y // R_
+
+    P = P_34.astype(jnp.float32)
+    o = origin_3.astype(jnp.float32)
+    vs = jnp.float32(voxel_size)
+    zpad = T * LSUB  # the short tail tile padded out with need=False
+    rows_i = jnp.arange(X * Y, dtype=jnp.int32)
+    i_f = (rows_i // Y).astype(jnp.float32)[:, None]
+    j_f = (rows_i % Y).astype(jnp.float32)[:, None]
+    iz = jnp.arange(zpad, dtype=jnp.int32)[None, :]
+    cx = o[0] + i_f * vs
+    cy = o[1] + j_f * vs
+    czv = o[2] + iz.astype(jnp.float32) * vs
+    cam0 = P[0, 0] * cx + P[0, 1] * cy + P[0, 2] * czv + P[0, 3]
+    cam1 = P[1, 0] * cx + P[1, 1] * cy + P[1, 2] * czv + P[1, 3]
+    zc = P[2, 0] * cx + P[2, 1] * cy + P[2, 2] * czv + P[2, 3]
+    zc_s = jnp.where(zc == 0, 1e-9, zc)
+    pix = jnp.rint(cam0 / zc_s - 0.5)
+    piy = jnp.rint(cam1 / zc_s - 0.5)
+    needv = (
+        (pix >= 0) & (pix < W) & (piy >= 0) & (piy < H)
+        & (zc > 0) & (zc < max_depth) & (iz < Z)
+    )
+    ix4 = jnp.where(needv, pix, jnp.inf).reshape(n_groups, R_, T, LSUB)
+    ix_min = jnp.min(ix4, axis=(1, 3))                           # (nG, T)
+    ix_max = jnp.max(
+        jnp.where(needv, pix, -jnp.inf).reshape(n_groups, R_, T, LSUB),
+        axis=(1, 3),
+    )
+    any_need = jnp.isfinite(ix_min)
+    x0g = jnp.clip(
+        jnp.floor((jnp.where(any_need, ix_min, 0.0) - 1.0) / 16.0) * 16.0,
+        0.0, float(wp - BX),
+    )
+    fits = ix_max + 1.0 < x0g + BX
+    flag = jnp.where(any_need, jnp.where(fits, 1, 2), 0).astype(jnp.int32)
+    G_ = br // R_
+    nb = X * Y // br
+    x0_arr = x0g.astype(jnp.int32).reshape(nb, G_, T)
+    flag_arr = flag.reshape(nb, G_, T)
+    import os as _os
+    if _os.environ.get("DT_FORCE_FLAG"):  # timing ablation only
+        flag_arr = jnp.full_like(flag_arr, int(_os.environ["DT_FORCE_FLAG"]))
+
     kern = functools.partial(
         _kernel, Y=Y, Z=Z, H=H, W=W, hp=hp, wp=wp, block_rows=br,
         min_depth=float(min_depth), max_depth=float(max_depth),
@@ -371,6 +446,10 @@ def fused_integrate(
             pl.BlockSpec((br, Z), lambda b: (b, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, br // ROWS, len(tiles_l)),
+                         lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, br // ROWS, len(tiles_l)),
+                         lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((br, Z), lambda b: (b, 0)),
@@ -392,5 +471,7 @@ def fused_integrate(
         weights_xyz.reshape(X * Y, Z),
         stack,
         scal,
+        x0_arr,
+        flag_arr,
     )
     return nv.reshape(X, Y, Z), nw.reshape(X, Y, Z)

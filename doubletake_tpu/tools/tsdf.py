@@ -26,6 +26,7 @@ TPU-native redesign of the reference's scene-state stack
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -715,6 +716,13 @@ def auto_raycast_samples(
     return 4 * max(8, sc)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "min_depth", "max_depth", "num_samples",
+        "weight_epsilon", "use_mip",
+    ),
+)
 def raycast(
     tsdf: TSDF,
     world_T_cam_44,

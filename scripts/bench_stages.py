@@ -8,9 +8,12 @@ dead-code or parallelize the repeats, with a hard fetch at the end.
 Usage: python scripts/bench_stages.py [cv raycast table integrate forward]
 """
 
+import os as _os
 import sys
 import time
 from functools import partial
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

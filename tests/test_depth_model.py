@@ -62,8 +62,12 @@ def test_forward_shapes(model_type, encoder, decoder):
         plane_chunk=8,
         model_num_views=K + 1,
     )
-    variables = model.init(jax.random.PRNGKey(0), cur_data, src_data)
-    out = model.apply(variables, cur_data, src_data, return_mask=True)
+    # jit everything: eager per-op dispatch on the 1-core CPU test host is
+    # ~10x slower than compiled execution, and jitted programs land in the
+    # persistent .jax_cache so repeat suite runs skip the compile entirely
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur_data, src_data)
+    out = jax.jit(lambda v, c, s: model.apply(v, c, s, return_mask=True))(
+        variables, cur_data, src_data)
 
     # s0 at half input res, s3 at 1/16
     assert out["depth_pred_s0_bhw1"].shape == (B, H // 2, W // 2, 1)
@@ -79,15 +83,16 @@ def test_hint_changes_output():
     model = DepthModelCVHint(
         matching_num_depth_bins=16, plane_chunk=8, model_num_views=K + 1
     )
-    variables = model.init(jax.random.PRNGKey(1), cur_data, src_data)
-    out_empty = model.apply(variables, cur_data, src_data)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), cur_data, src_data)
+    out_empty = jax.jit(model.apply)(variables, cur_data, src_data)
 
     hint = {
         "depth_hint_bhw1": jnp.full((B, H, W, 1), 2.0),
         "hint_mask_bhw1": jnp.ones((B, H, W, 1), bool),
         "sampled_weights_bhw1": jnp.full((B, H, W, 1), 0.8),
     }
-    out_hint = model.apply(variables, cur_data, src_data, hint=hint)
+    out_hint = jax.jit(lambda v, c, s, h: model.apply(v, c, s, hint=h))(
+        variables, cur_data, src_data, hint)
     diff = np.abs(
         np.asarray(out_hint["depth_pred_s0_bhw1"]) - np.asarray(out_empty["depth_pred_s0_bhw1"])
     ).max()
@@ -101,9 +106,10 @@ def test_flip_equivariance_of_volume_path():
     model = DepthModelCVHint(
         matching_num_depth_bins=16, plane_chunk=8, model_num_views=K + 1
     )
-    variables = model.init(jax.random.PRNGKey(2), cur_data, src_data)
-    out = model.apply(variables, cur_data, src_data)
-    out_flip = model.apply(variables, cur_data, src_data, flip=True)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(2), cur_data, src_data)
+    out = jax.jit(model.apply)(variables, cur_data, src_data)
+    out_flip = jax.jit(lambda v, c, s: model.apply(v, c, s, flip=True))(
+        variables, cur_data, src_data)
     a = np.asarray(out["depth_pred_s0_bhw1"])
     b = np.asarray(out_flip["depth_pred_s0_bhw1"])
     # not identical (image content flips through the conv encoders) but the
@@ -123,22 +129,21 @@ def test_cached_src_matching_feats_bit_identical():
         depth_decoder_name="skip",
         matching_encoder_type="resnet",
     )
-    variables = model.init(jax.random.PRNGKey(0), cur_data, src_data)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur_data, src_data)
 
-    ref = model.apply(variables, cur_data, src_data)
+    ref = jax.jit(model.apply)(variables, cur_data, src_data)
 
     # encode each src view standalone (exactly what a sequential runner
     # caches when the view was the cur frame)
     src_imgs = src_data["image_bkhw3"]
     b, k = src_imgs.shape[:2]
-    feats = model.apply(
-        variables,
-        src_imgs.reshape((b * k,) + src_imgs.shape[2:]),
-        method=lambda m, x: m.matching_model(x),
-    )
+    feats = jax.jit(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: m.matching_model(xx)))(
+        variables, src_imgs.reshape((b * k,) + src_imgs.shape[2:]))
     src_feats = feats.reshape((b, k) + feats.shape[1:])
 
-    out = model.apply(variables, cur_data, src_data, src_matching_feats=src_feats)
+    out = jax.jit(lambda v, c, s, f: model.apply(
+        v, c, s, src_matching_feats=f))(variables, cur_data, src_data, src_feats)
     np.testing.assert_array_equal(
         np.asarray(out["depth_pred_s0_bhw1"]), np.asarray(ref["depth_pred_s0_bhw1"])
     )

@@ -51,11 +51,12 @@ def test_geometry_chain_quality():
     # raycast from a held-out pose and compare against its GT render
     wTc = poses[7]
     _, gt = scene.render(wTc, K, H, W)
-    d, w, v = raycast(
-        vol, jnp.asarray(wTc, jnp.float32),
-        jnp.asarray(np.linalg.inv(K), jnp.float32), H, W,
-        min_depth=0.3, max_depth=5.0, num_samples=256,
-    )
+    # jit: eager per-op execution of the 256-sample march on the 1-core
+    # CPU test host is ~10x slower and never hits the persistent cache
+    d, w, v = jax.jit(lambda t, p, ik: raycast(
+        t, p, ik, H, W, min_depth=0.3, max_depth=5.0, num_samples=256,
+    ))(vol, jnp.asarray(wTc, jnp.float32),
+       jnp.asarray(np.linalg.inv(K), jnp.float32))
     d, v = np.asarray(d), np.asarray(v)
     gt_ok = (gt > 0.3) & (gt < 3.0) & np.isfinite(gt)
     both = v & gt_ok
