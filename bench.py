@@ -244,6 +244,21 @@ def main():
         }))
         sys.exit(1)
 
+    if "--parity-only" in sys.argv:
+        print(json.dumps({
+            "metric": "parity probe (no timing)", "value": parity_p99,
+            "unit": "m p99", "vs_baseline": 1.0,
+            "extra": {
+                "pallas_vs_xla_s0_depth_p99_m": round(parity_p99, 5),
+                "pallas_vs_xla_s0_depth_mean_m": round(parity_mean, 6),
+                "abs_diff_delta_m": round(abs_diff_delta, 6),
+                "bf16_abs_diff_delta_m": round(bf16_abs_delta, 6),
+                "bf16_vs_fp32_s0_depth_p99_m": round(bf16_p99, 5),
+                "hint_coverage": round(hint_coverage, 3),
+            },
+        }))
+        return
+
     # ---- incremental mode: chained raycast -> forward -> fuse ----
     # The matching encoder runs ONLY on the new frame: the 7 src views of a
     # sequential pipeline were each already encoded when they arrived, so
@@ -364,21 +379,38 @@ def main():
         out = model.apply(variables, cur, src)
         return out["depth_pred_s0_bhw1"]
 
-    def batched_chain(cur):
+    # fp32 variant: scored evals default to compute_dtype=float32
+    # (options.py), so the scored configuration gets its own measured
+    # number alongside the bf16 production headline (ADVICE r4).
+    @jax.jit
+    def batched_forward_f32(variables, cur, src):
+        out = model_f32.apply(variables, cur, src)
+        return out["depth_pred_s0_bhw1"]
+
+    def batched_chain(cur, fwd, var):
         d = None
         for _ in range(BATCH_REPS):
-            d = batched_forward(variables, cur, bsrc)
+            d = fwd(var, cur, bsrc)
             cur = dict(cur, image_bhw3=cur["image_bhw3"] + d[:, :1, :1] * 1e-30)
         return d
 
     _note("batched compile+warmup")
-    d = batched_chain(bcur)
+    d = batched_chain(bcur, batched_forward, variables)
     np.asarray(d[0, 0, 0, 0])  # warmup
     t0 = time.perf_counter()
-    d = batched_chain(bcur)
+    d = batched_chain(bcur, batched_forward, variables)
     np.asarray(d[0, 0, 0, 0])
     dt = time.perf_counter() - t0
     batched_mps = BATCH * BATCH_REPS / dt
+
+    _note("batched fp32 compile+warmup")
+    d = batched_chain(bcur, batched_forward_f32, variables32)
+    np.asarray(d[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    d = batched_chain(bcur, batched_forward_f32, variables32)
+    np.asarray(d[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    batched_mps_f32 = BATCH * BATCH_REPS / dt
 
     target = 100.0  # BASELINE.md: >100 depth maps/sec/chip at 512x384
     print(json.dumps({
@@ -388,6 +420,7 @@ def main():
         "vs_baseline": round(incremental_mps / target, 3),
         "extra": {
             "batched_no_hint_maps_per_sec": round(batched_mps, 2),
+            "batched_no_hint_maps_per_sec_fp32": round(batched_mps_f32, 2),
             "batch": BATCH,
             "pallas_vs_xla_s0_depth_p99_m": round(parity_p99, 5),
             "pallas_vs_xla_s0_depth_mean_m": round(parity_mean, 6),

@@ -28,6 +28,17 @@ def get_dataset(dataset_name: str):
         from doubletake_tpu.datasets.colmap import ColmapDataset
 
         return ColmapDataset
+    if dataset_name in ("arkit", "scanniverse"):
+        # Registry-name parity: the reference routes these names to
+        # ARKitDataset / ScanniverseDataset (utils/dataset_utils.py:49-97)
+        # but never shipped those classes — its branches raise NameError
+        # if selected. Surface the same capability gap as a clear error.
+        raise NotImplementedError(
+            f"'{dataset_name}' is a recognized dataset name, but its reader "
+            "was not released in the reference (dataset_utils.py:49-97 "
+            "references an undefined class); use 'vdr' for ARKit-style "
+            "iPhone captures or 'colmap' for generic posed captures."
+        )
     raise ValueError(f"Unknown dataset: {dataset_name}")
 
 

@@ -6,12 +6,21 @@ pose.txt}`` with ``_info.txt`` metadata (``key = value``, calibration
 matrices inline, depthShift 1000, :237-285); rescan->reference 4x4
 transforms parsed from ``3RScan.json`` with a forbidden-scan list
 (:191-235); optional 90-degree image rotation with intrinsics axis swap.
+
+Sensor streams ship as per-scan ``sequence.zip`` archives (reference
+layout docstring :20-33); when the extracted ``sensor_data/`` tree is
+absent this reader serves frames straight out of the zip (members at the
+archive root or under ``sensor_data/``), so downloads never need a 2x-disk
+extraction pass.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
+import threading
+import zipfile
 from collections import OrderedDict
 
 import numpy as np
@@ -26,6 +35,10 @@ class ThreeRScanDataset(GenericMVSDataset):
         super().__init__(*args, **kwargs)
         self._metadata_cache = {}
         self._rescan_map = None
+        # zipfile.ZipFile reads are not thread-safe on a shared handle and
+        # the DataLoader uses worker THREADS: keep one open handle per
+        # (thread, scan) in thread-local storage.
+        self._zip_local = threading.local()
 
     # ------------------------------------------------------------------ #
 
@@ -38,14 +51,49 @@ class ThreeRScanDataset(GenericMVSDataset):
             f"frame-{int(frame_id):06d}.{suffix}",
         )
 
+    def _zip_handle(self, scan_id):
+        zpath = os.path.join(self.scan_path(scan_id), "sequence.zip")
+        if not os.path.exists(zpath):
+            return None
+        cache = getattr(self._zip_local, "handles", None)
+        if cache is None:
+            cache = self._zip_local.handles = {}
+        if scan_id not in cache:
+            cache[scan_id] = zipfile.ZipFile(zpath)
+        return cache[scan_id]
+
+    def _sensor_file(self, scan_id, name):
+        """Path or file-like for ``sensor_data/<name>``: the extracted tree
+        when present, else the member inside ``sequence.zip``."""
+        path = os.path.join(self.scan_path(scan_id), "sensor_data", name)
+        if os.path.exists(path):
+            return path
+        zf = self._zip_handle(scan_id)
+        if zf is not None:
+            for member in (name, f"sensor_data/{name}"):
+                try:
+                    return io.BytesIO(zf.read(member))
+                except KeyError:
+                    continue
+        raise FileNotFoundError(
+            f"{scan_id}: no extracted sensor_data/{name} and no matching "
+            f"member in sequence.zip"
+        )
+
+    def _frame_file(self, scan_id, frame_id, suffix):
+        return self._sensor_file(
+            scan_id, f"frame-{int(frame_id):06d}.{suffix}"
+        )
+
     def get_frame_id_string(self, frame_id):
         return f"frame_{int(frame_id):06d}"
 
     def _metadata(self, scan_id):
         if scan_id not in self._metadata_cache:
-            path = os.path.join(self.scan_path(scan_id), "sensor_data", "_info.txt")
+            src = self._sensor_file(scan_id, "_info.txt")
             meta = {}
-            with open(path) as f:
+            f = open(src) if isinstance(src, str) else io.TextIOWrapper(src)
+            with f:
                 for line in f:
                     if " = " not in line:
                         continue
@@ -104,7 +152,7 @@ class ThreeRScanDataset(GenericMVSDataset):
 
     def load_pose(self, scan_id, frame_id):
         world_T_cam = np.genfromtxt(
-            self._frame_path(scan_id, frame_id, "pose.txt")
+            self._frame_file(scan_id, frame_id, "pose.txt")
         ).astype(np.float32).reshape(4, 4)
         if self.rotate_images:
             from doubletake_tpu.utils.geometry import rotz
@@ -116,7 +164,7 @@ class ThreeRScanDataset(GenericMVSDataset):
 
     def load_color(self, scan_id, frame_id):
         cached = self._frame_path(scan_id, frame_id, f"color.{self.image_width}.png")
-        path = cached if os.path.exists(cached) else self._frame_path(
+        path = cached if os.path.exists(cached) else self._frame_file(
             scan_id, frame_id, "color.jpg"
         )
         img = read_image_file(path, height=self.image_height, width=self.image_width)
@@ -127,7 +175,7 @@ class ThreeRScanDataset(GenericMVSDataset):
     def load_high_res_color(self, scan_id, frame_id):
         meta = self._metadata(scan_id)
         img = read_image_file(
-            self._frame_path(scan_id, frame_id, "color.jpg"),
+            self._frame_file(scan_id, frame_id, "color.jpg"),
             height=int(meta["m_colorHeight"]), width=int(meta["m_colorWidth"]),
         )
         if self.rotate_images:
@@ -138,7 +186,7 @@ class ThreeRScanDataset(GenericMVSDataset):
         meta = self._metadata(scan_id)
         shift = float(meta.get("m_depthShift", 1000.0))
         cached = self._frame_path(scan_id, frame_id, f"depth.{width}.png")
-        path = cached if os.path.exists(cached) else self._frame_path(
+        path = cached if os.path.exists(cached) else self._frame_file(
             scan_id, frame_id, "depth.pgm"
         )
         depth = read_image_file(

@@ -377,6 +377,11 @@ class FeatureVolume(nn.Module):
             hint_bhw3=hint_bhw3,
             num_depth_bins=self.num_depth_bins,
             use_hint=self.use_hint_mlp,
+            # Pallas has no CPU lowering: on the CPU test/dev platform the
+            # kernel runs in interpreter mode so the full-model fast path is
+            # exercisable off-hardware (tests/test_e2e_gate.py mirrors the
+            # bench.py hardware parity gate this way).
+            interpret=jax.default_backend() == "cpu",
         )
 
         volume_bhwd = volume_bdhw.transpose(0, 2, 3, 1)

@@ -7,7 +7,7 @@ mesh_hint_volume.py) with a single kernel that, for each
 
   1. exact bilinear warping of every source view's matching features via
      separable one-hot matmuls on the MXU — Wx (x-interp across the
-     128-wide row) and a banded Wy (row mix over a 32-row band of the
+     128-wide row) and a banded Wy (row mix over a BAND-row band of the
      source image). The one-hot weights reproduce
      ``F.grid_sample(align_corners=False, padding_mode="zeros")`` exactly:
      out-of-image samples receive zero weight;
@@ -38,7 +38,7 @@ to ops Mosaic lowers well: 2-D iota/compares, lane-dim concatenation,
 static slices, matmuls (no 3-D reshapes).
 
 Band caveat: for one output row, sampled source rows must fall in a
-32-row band starting at min(floor(sy))-1 over the row (clamped to the
+BAND-row band starting at min(floor(sy))-1 over the row (clamped to the
 image). Violations (extreme in-plane rotation) produce zeros, like
 out-of-image samples; realistic MVS trajectories stay well inside the
 band (validated in tests against the XLA path).
@@ -65,14 +65,17 @@ from doubletake_tpu.utils.geometry import (
 
 _PREC = jax.lax.Precision.HIGHEST
 
-BAND = 32           # source-row band height per 8-row block (shared band:
-                    # up to 7 rows of down-alignment + 8 block rows + 2
-                    # interp + 15 rows of in-block sampling spread). Every
-                    # lane of the y-mix stage scales with BAND*C, and the
-                    # y-mix was measured at 7.1 of the kernel's 23.5 ms
-                    # (round-4 ablation), so the band carries exactly the
-                    # slack the parity tests demand and no more. Violations
-                    # degrade to zeros like out-of-image samples.
+BAND = 40           # source-row band height per 8-row block: up to 7 rows
+                    # of down-alignment + 1 interp row below + 8 block rows
+                    # + 1 interp row above leaves 23 rows of in-block
+                    # sampling spread. Round 4 cut this to 32 (15 rows of
+                    # spread) to shave the y-mix stage and the bench scene
+                    # promptly violated it — silent zeros drove fused-vs-XLA
+                    # s0-depth p99 from 6.4 mm to 15.6 mm (BENCH_r04 parity
+                    # failure). 40 is the measured-safe value; violations
+                    # still degrade to zeros like out-of-image samples, and
+                    # the full-model CPU gate (tests/test_e2e_gate.py)
+                    # mirrors the hardware gate to catch regressions here.
 ROWS_PER_STEP = 8   # output rows per grid step (processed as ONE stacked
                     # (R*W, ...) matmul chain: the per-row formulation was
                     # matmul-ISSUE-bound at ~280k small matmuls/frame)
@@ -238,10 +241,11 @@ def _process_rowblock(
         y_cols = coord_cols[:, (k + ki) * R:(k + ki + 1) * R]
 
         # stacked one-hots: x-interp (RW, u) and y-mix (RW, BAND), built as
-        # TENT functions max(0, 1 - |u - ix|) — bit-identical to the
-        # (u==x0)*(1-wx) + (u==x0+1)*wx compare form (fp32 subtractions of
-        # in-range coords are exact) at ~2/3 the VPU ops, with
-        # grid_sample's zeros padding falling out of the tent's support
+        # TENT functions max(0, 1 - |u - ix|) — in fp32 identical to the
+        # (u==x0)*(1-wx) + (u==x0+1)*wx compare form (the subtractions of
+        # in-range coords are exact), and both forms round to the same
+        # bf16 weights below, at ~2/3 the VPU ops; grid_sample's zeros
+        # padding falls out of the tent's support
         Wx_stack = jnp.concatenate(
             [
                 jnp.maximum(

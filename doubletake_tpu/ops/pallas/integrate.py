@@ -325,7 +325,8 @@ def fused_integrate(
     (new_values, new_weights).
 
     Requirements (the caller gates and falls back to XLA otherwise):
-    Y % 8 == 0, Z % 8 == 0, float32 volume, no color fusion.
+    (X * Y) % ROWS == 0 (flattened row groups), Z % 8 == 0, float32
+    volume, no color fusion.
     """
     X, Y, Z = values_xyz.shape
     H, W = depth_hw.shape
@@ -407,9 +408,15 @@ def fused_integrate(
     zc_s = jnp.where(zc == 0, 1e-9, zc)
     pix = jnp.rint(cam0 / zc_s - 0.5)
     piy = jnp.rint(cam1 / zc_s - 0.5)
+    # +-1 px / 1e-6 relative slack vs the kernel's own per-voxel `need`:
+    # the skip decision (flag==0) and band placement below come from THIS
+    # needv, and an XLA-vs-Mosaic fma/rint divergence at an image-edge or
+    # zc~max_depth boundary voxel must widen the band / take the sub-tile
+    # down the banded path (where the kernel's exact need decides), never
+    # silently classify it as skip.
     needv = (
-        (pix >= 0) & (pix < W) & (piy >= 0) & (piy < H)
-        & (zc > 0) & (zc < max_depth) & (iz < Z)
+        (pix >= -1) & (pix < W + 1) & (piy >= -1) & (piy < H + 1)
+        & (zc > -1e-6) & (zc < max_depth * (1.0 + 1e-6)) & (iz < Z)
     )
     ix4 = jnp.where(needv, pix, jnp.inf).reshape(n_groups, R_, T, LSUB)
     ix_min = jnp.min(ix4, axis=(1, 3))                           # (nG, T)
@@ -429,8 +436,19 @@ def fused_integrate(
     x0_arr = x0g.astype(jnp.int32).reshape(nb, G_, T)
     flag_arr = flag.reshape(nb, G_, T)
     import os as _os
-    if _os.environ.get("DT_FORCE_FLAG"):  # timing ablation only
-        flag_arr = jnp.full_like(flag_arr, int(_os.environ["DT_FORCE_FLAG"]))
+    if _os.environ.get("DT_FORCE_FLAG"):
+        # Timing ablation only. Read at TRACE time: toggling it after the
+        # first compile for a shape has no effect (jit cache). Only the
+        # full-width path (flag=2) is forceable — it stays numerically
+        # correct for every sub-tile; forcing flag=1 would band sub-tiles
+        # whose x-span exceeds BX and silently drop their updates.
+        forced = int(_os.environ["DT_FORCE_FLAG"])
+        if forced != 2:
+            raise ValueError(
+                "DT_FORCE_FLAG only supports 2 (full-width); other values "
+                "corrupt fusion results"
+            )
+        flag_arr = jnp.full_like(flag_arr, forced)
 
     kern = functools.partial(
         _kernel, Y=Y, Z=Z, H=H, W=W, hp=hp, wp=wp, block_rows=br,

@@ -379,11 +379,16 @@ def integrate_depth(
     # one-hot matmuls instead of 11-18M serialized row gathers. Auto-enabled
     # on TPU for the shapes it supports; identical _voxel_update math.
     if use_pallas is None:
+        from doubletake_tpu.ops.pallas.integrate import ROWS as _INT_ROWS
+
+        # gate must mirror fused_integrate's own asserts: row groups of
+        # ROWS flattened X*Y rows (not a per-dim %8 — an X*Y=40 volume
+        # satisfies dims%8 but not the row-group contract) and Z%8 lanes
         use_pallas = (
             jax.default_backend() not in ("cpu",)
             and not cull
             and not with_color
-            and dims[1] % 8 == 0
+            and (dims[0] * dims[1]) % _INT_ROWS == 0
             and dims[2] % 8 == 0
             and tsdf.values.dtype == jnp.float32
         )

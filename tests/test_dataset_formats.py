@@ -206,3 +206,72 @@ def test_colmap_reader(tmp_path):
     # orthonormal rotation after the rotx alignment
     R = frame["world_T_cam_b44"][:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_threer_scan_reader_zipped(tmp_path):
+    """Frames served straight from sequence.zip when sensor_data/ is not
+    extracted (reference layout docstring threer_scan_dataset.py:20-33)."""
+    import io as _io
+    import zipfile
+
+    root = str(tmp_path)
+    scan = "zip-scan"
+    os.makedirs(os.path.join(root, scan))
+    Kc = "877.5 0 479.75 0 0 877.5 269.75 0 0 0 1 0 0 0 0 1"
+
+    def png_bytes(arr):
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    with zipfile.ZipFile(os.path.join(root, scan, "sequence.zip"), "w") as zf:
+        zf.writestr(
+            "_info.txt",
+            "m_colorWidth = 960\nm_colorHeight = 540\n"
+            "m_depthWidth = 224\nm_depthHeight = 172\nm_depthShift = 1000\n"
+            f"m_calibrationColorIntrinsic = {Kc}\n",
+        )
+        rng = np.random.RandomState(0)
+        color = (rng.rand(540, 960, 3) * 255).astype(np.uint8)
+        for i in range(2):
+            zf.writestr(f"frame-{i:06d}.color.jpg", png_bytes(color))
+            # 16-bit depth as PNG inside the zip member named .pgm would
+            # confuse PIL's format sniffing? No: PIL sniffs CONTENT, the
+            # name is irrelevant — but write a real PGM for fidelity.
+            buf = _io.BytesIO()
+            Image.fromarray(np.full((172, 224), 1800, np.uint16)).save(
+                buf, format="PPM")
+            zf.writestr(f"sensor_data/frame-{i:06d}.depth.pgm", buf.getvalue())
+            zf.writestr(
+                f"frame-{i:06d}.pose.txt",
+                "\n".join(" ".join(str(v) for v in row) for row in np.eye(4)),
+            )
+
+    ds = ThreeRScanDataset(
+        dataset_path=root, split="test", mv_tuple_file_suffix=None,
+        image_height=H_IMG, image_width=W_IMG,
+    )
+    # members both at archive root and under sensor_data/ resolve
+    frame = ds.get_frame(scan, 0, load_depth=True)
+    valid = frame["mask_b_bhw1"]
+    assert valid.any()
+    np.testing.assert_allclose(frame["depth_bhw1"][valid], 1.8, atol=1e-3)
+    np.testing.assert_allclose(
+        frame["K_s0_b44"][0, 0], 877.5 / 960 * (W_IMG // 2), rtol=1e-5
+    )
+    np.testing.assert_allclose(frame["world_T_cam_b44"], np.eye(4), atol=1e-6)
+    assert frame["image_bhw3"].shape == (H_IMG, W_IMG, 3)
+
+
+def test_registry_aliases():
+    """arkit/scanniverse names are recognized (reference
+    dataset_utils.py:49-97) and explain the unreleased readers."""
+    import pytest as _pytest
+
+    from doubletake_tpu.datasets.registry import get_dataset
+
+    for name in ("arkit", "scanniverse"):
+        with _pytest.raises(NotImplementedError, match="not released"):
+            get_dataset(name)
+    with _pytest.raises(ValueError):
+        get_dataset("not_a_dataset")
