@@ -33,7 +33,9 @@ from functools import partial
 
 import numpy as np
 
-FRAMES_PER_DISPATCH = 12
+FRAMES_PER_DISPATCH = 24  # amortizes the ~58 ms dispatch+fetch floor
+                          # (measured: scripts/probe_scan_carry.py 'hoist'
+                          # = 4.8 ms/frame at F=12) to ~2.4 ms/frame
 NUM_GROUPS = 2
 BATCH = 8
 BATCH_REPS = 4
@@ -260,21 +262,34 @@ def main():
         return
 
     # ---- incremental mode: chained raycast -> forward -> fuse ----
-    # The matching encoder runs ONLY on the new frame: the 7 src views of a
-    # sequential pipeline were each already encoded when they arrived, so
-    # their features live in a ring buffer carried through the scan
-    # (bit-identical reuse — tests/test_depth_model.py::
-    # test_cached_src_matching_feats_bit_identical). ridx maps each frame's
-    # DVMVS-sorted src order to ring slots.
+    # Pipelined TPU-native structure (measured piecewise in
+    # scripts/bench_incremental_parts.py, round 5):
+    #   * ENCODE-AHEAD: the image-prior encoder + matching encoder depend
+    #     only on the image, so they run BATCHED over the whole group
+    #     before the scan (inside the same timed dispatch) — b=1 serial
+    #     encodes waste the MXU (-7.6 ms/frame measured);
+    #   * the scan body runs only the hint-dependent part (raycast -> CV ->
+    #     CVEncoder -> decoder -> fuse);
+    #   * src matching features come from a ring buffer carried through the
+    #     scan (bit-identical reuse — tests/test_depth_model.py), ridx maps
+    #     each frame's DVMVS-sorted src order to ring slots;
+    #   * scan xs carry NO images — the model accepts image-free dicts when
+    #     features are precomputed, so xs hold ~5 MB/frame of features
+    #     instead of ~230 MB of stacked images.
     K_SRC = model.model_num_views - 1
+    CUR_NOIMG = [k for k in CUR if k != "image_bhw3"]
+    SRC_NOIMG = [k for k in SRC if k != "image_bkhw3"]
 
-    def one_frame(variables, tsdf, ring, cur, src, ridx):
+    def one_frame(variables, tsdf, ring, cur, src, ridx, cf, mf):
         hint = make_hint(tsdf, cur)
         out = model.apply(
-            variables, cur, src, hint=hint, src_matching_feats=ring[ridx][None]
+            variables, cur, src, hint=hint,
+            src_matching_feats=ring[ridx][None],
+            cur_feats=tuple(f[None] for f in cf),
+            cur_matching_feats=mf[None],
         )
         depth = out["depth_pred_s0_bhw1"]
-        ring = jnp.concatenate([ring[1:], out["matching_feats_bhwc"]], axis=0)
+        ring = jnp.concatenate([ring[1:], mf[None]], axis=0)
         tsdf = integrate_depth(
             tsdf, depth[0], cur["cam_T_world_b44"][0], cur["K_s0_b44"][0], cfg
         )
@@ -286,13 +301,20 @@ def main():
     # and costs ~30 us/iteration of fixed overhead (PERF_NOTES dispatch
     # investigation).
     @partial(jax.jit, donate_argnums=(1, 2))
-    def frame_group(variables, tsdf, ring, curs, srcs, ridxs):
+    def frame_group(variables, tsdf, ring, imgs, curs, srcs, ridxs):
+        feats, mfeats = model.apply(
+            variables, imgs, method=lambda m, x: m.encode_frame(x)
+        )
+
         def body(carry, frame):
             tsdf, ring = carry
-            cur, src, ridx = frame
-            tsdf, ring, depth = one_frame(variables, tsdf, ring, cur, src, ridx)
+            cur, src, ridx, cf, mf = frame
+            tsdf, ring, depth = one_frame(
+                variables, tsdf, ring, cur, src, ridx, cf, mf
+            )
             return (tsdf, ring), depth[0, 0, 0, 0]
-        (tsdf, ring), d = jax.lax.scan(body, (tsdf, ring), (curs, srcs, ridxs))
+        (tsdf, ring), d = jax.lax.scan(
+            body, (tsdf, ring), (curs, srcs, ridxs, feats, mfeats))
         return tsdf, ring, d
 
     def frame_ref(i):
@@ -303,10 +325,14 @@ def main():
         return [int(s) for s in frames[i][1]["frame_id_string"][0]]
 
     def stack_group(i0):
-        """Frames i0..i0+F as (F, 1, ...) arrays — frame-major, batch 1."""
+        """Frames i0..i0+F: (F, H, W, 3) images for the batched encode +
+        image-free (F, 1, ...) pose/K stacks for the scan."""
         group = frames[i0: i0 + FRAMES_PER_DISPATCH]
-        curs = {k: jnp.asarray(np.stack([f[0][k] for f in group])) for k in CUR}
-        srcs = {k: jnp.asarray(np.stack([f[1][k] for f in group])) for k in SRC}
+        imgs = jnp.asarray(np.stack([f[0]["image_bhw3"][0] for f in group]))
+        curs = {k: jnp.asarray(np.stack([f[0][k] for f in group]))
+                for k in CUR_NOIMG}
+        srcs = {k: jnp.asarray(np.stack([f[1][k] for f in group]))
+                for k in SRC_NOIMG}
         # ring slot of src id s when processing ref r: ring holds frames
         # r-K_SRC .. r-1 at positions 0..K_SRC-1
         ridxs = np.stack([
@@ -314,7 +340,7 @@ def main():
             for j in range(FRAMES_PER_DISPATCH)
         ])
         assert ridxs.min() >= 0 and ridxs.max() < K_SRC, ridxs
-        return curs, srcs, jnp.asarray(ridxs)
+        return imgs, curs, srcs, jnp.asarray(ridxs)
 
     encode = jax.jit(
         lambda v, x: model.apply(
@@ -412,6 +438,25 @@ def main():
     dt = time.perf_counter() - t0
     batched_mps_f32 = BATCH * BATCH_REPS / dt
 
+    # ---- MFU (VERDICT r4 #4): XLA's flop count for one full forward
+    # (encoders + CV + decoder), against the v5e bf16 peak. The incremental
+    # headline additionally raycasts + fuses, so its true utilization is
+    # slightly higher than reported here.
+    fwd_tflops = mfu_inc = mfu_batched = None
+    try:
+        ca = (
+            jax.jit(lambda v, c, s: model.apply(v, c, s))
+            .lower(variables, cur0, src0).compile().cost_analysis()
+        )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fwd_tflops = float(ca["flops"]) / 1e12
+        V5E_PEAK_TFLOPS = 197.0  # bf16
+        mfu_inc = incremental_mps * fwd_tflops / V5E_PEAK_TFLOPS
+        mfu_batched = batched_mps * fwd_tflops / V5E_PEAK_TFLOPS
+    except Exception as e:  # cost_analysis is backend-dependent
+        _note(f"cost_analysis unavailable: {e}")
+
     target = 100.0  # BASELINE.md: >100 depth maps/sec/chip at 512x384
     print(json.dumps({
         "metric": "depth maps/sec/chip (incremental pipeline, 512x384)",
@@ -434,6 +479,11 @@ def main():
             "compute_dtype_timed": "bfloat16",
             "hint_coverage": round(hint_coverage, 3),
             "frames_per_dispatch": FRAMES_PER_DISPATCH,
+            "forward_tflops_per_map": (
+                round(fwd_tflops, 4) if fwd_tflops else None
+            ),
+            "mfu_incremental": round(mfu_inc, 4) if mfu_inc else None,
+            "mfu_batched": round(mfu_batched, 4) if mfu_batched else None,
         },
     }))
 

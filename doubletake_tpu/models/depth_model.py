@@ -87,6 +87,25 @@ class DepthModel(nn.Module):
         else:
             raise ValueError(f"Unknown decoder {self.depth_decoder_name}")
 
+    def encode_frame(self, image_bhw3, train: bool = False):
+        """Image-only encoders for one (batch of) frame(s): the image-prior
+        encoder pyramid and the matching features.
+
+        Neither depends on poses, src views, or the hint, so a sequential
+        pipeline (incremental/offline runners, bench.py) can hoist them out
+        of the frame->frame dependency chain and run them BATCHED over a
+        group of upcoming frames — image-only work is where most of the
+        non-CV forward time goes, and batching recovers MXU utilization the
+        b=1 serial chain leaves on the table. Feed the results back through
+        ``__call__(cur_feats=..., cur_matching_feats=...)``; reuse is
+        bit-identical because inference BN uses running stats.
+        """
+        img = image_bhw3.astype(jnp.dtype(self.compute_dtype))
+        return (
+            tuple(self.encoder(img, train=train)),
+            self.matching_model(img, train=train),
+        )
+
     def __call__(
         self,
         cur_data: Dict[str, Any],
@@ -96,6 +115,8 @@ class DepthModel(nn.Module):
         return_mask: bool = False,
         hint: Optional[Dict[str, Any]] = None,
         src_matching_feats: Optional[Any] = None,
+        cur_feats: Optional[Any] = None,
+        cur_matching_feats: Optional[Any] = None,
     ):
         """Forward pass.
 
@@ -112,10 +133,33 @@ class DepthModel(nn.Module):
             matching encoder then runs on 1 image instead of k+1. The cur
             frame's features are returned as outputs["matching_feats_bhwc"]
             for the caller to cache. Inference-only (flip must be False).
+        cur_feats / cur_matching_feats: optional precomputed outputs of
+            ``encode_frame`` for the cur frame (the encode-ahead pipeline:
+            image-only work hoisted out of the sequential hint->forward->fuse
+            chain and batched over upcoming frames). Bit-identical to the
+            in-call encoders. Inference-only (flip must be False).
         """
         dtype = jnp.dtype(self.compute_dtype)
-        cur_image = cur_data["image_bhw3"].astype(dtype)
-        src_image = src_data["image_bkhw3"].astype(dtype)
+        # Image tensors are OPTIONAL when the corresponding features are
+        # precomputed (encode-ahead / feature-cache pipelines): a lax.scan
+        # over frames then carries ~5 MB of features per frame instead of
+        # ~230 MB of stacked images in its xs.
+        cur_image = cur_data.get("image_bhw3")
+        src_image = src_data.get("image_bkhw3")
+        if cur_image is None:
+            assert cur_feats is not None and cur_matching_feats is not None, (
+                "cur_data lacks image_bhw3: cur_feats and cur_matching_feats "
+                "must be precomputed (encode_frame)"
+            )
+        else:
+            cur_image = cur_image.astype(dtype)
+        if src_image is None:
+            assert src_matching_feats is not None, (
+                "src_data lacks image_bkhw3: src_matching_feats must be "
+                "precomputed"
+            )
+        else:
+            src_image = src_image.astype(dtype)
         src_K = src_data[f"K_s{self.matching_scale}_bk44"]
         cur_invK = cur_data[f"invK_s{self.matching_scale}_b44"]
 
@@ -131,14 +175,23 @@ class DepthModel(nn.Module):
             src_data["world_T_cam_bk44"],
         )
 
-        cur_image = _maybe_flip(cur_image, flip, 2)
-        src_image = _maybe_flip(src_image, flip, 3)
+        if cur_image is not None:
+            cur_image = _maybe_flip(cur_image, flip, 2)
+        if src_image is not None:
+            src_image = _maybe_flip(src_image, flip, 3)
 
-        cur_feats = self.encoder(cur_image, train=train)
+        if cur_feats is not None:
+            assert isinstance(flip, bool) and not flip, (
+                "cur_feats is an inference encode-ahead input; flipped "
+                "passes must encode images"
+            )
+            cur_feats = tuple(f.astype(dtype) for f in cur_feats)
+        else:
+            cur_feats = self.encoder(cur_image, train=train)
 
         # matching features for cur + all src views in one batch
-        b, k = src_image.shape[:2]
-        if src_matching_feats is None:
+        b, k = src_data["world_T_cam_bk44"].shape[:2]
+        if src_matching_feats is None and cur_matching_feats is None:
             all_images = jnp.concatenate([cur_image[:, None], src_image], axis=1)
             all_feats = self.matching_model(
                 all_images.reshape((b * (k + 1),) + all_images.shape[2:]),
@@ -149,11 +202,23 @@ class DepthModel(nn.Module):
             matching_src_feats = all_feats[:, 1:]
         else:
             assert isinstance(flip, bool) and not flip, (
-                "src_matching_feats is an inference feature cache; flipped "
-                "training passes must encode images"
+                "src/cur matching feats are inference feature-cache inputs; "
+                "flipped training passes must encode images"
             )
-            matching_cur_feats = self.matching_model(cur_image, train=train)
-            matching_src_feats = src_matching_feats.astype(dtype)
+            if cur_matching_feats is not None:
+                matching_cur_feats = cur_matching_feats.astype(dtype)
+            else:
+                matching_cur_feats = self.matching_model(cur_image, train=train)
+            if src_matching_feats is not None:
+                matching_src_feats = src_matching_feats.astype(dtype)
+            else:
+                all_feats = self.matching_model(
+                    src_image.reshape((b * k,) + src_image.shape[2:]),
+                    train=train,
+                )
+                matching_src_feats = all_feats.reshape(
+                    (b, k) + all_feats.shape[1:]
+                )
 
         matching_cur_feats = _maybe_flip(matching_cur_feats, flip, 2)
         matching_src_feats = _maybe_flip(matching_src_feats, flip, 3)
@@ -202,11 +267,18 @@ class DepthModelCVHint(DepthModel):
     feature_volume_type: str = "mlp_mesh_hint_feature_volume"
 
     def __call__(self, cur_data, src_data, train=False, flip=False, return_mask=False,
-                 hint=None, src_matching_feats=None):
+                 hint=None, src_matching_feats=None, cur_feats=None,
+                 cur_matching_feats=None):
         if hint is None:
             # empty hints: invalid everywhere (reference feeds all-invalid
-            # hint tensors when no mesh exists yet)
-            b, h, w, _ = cur_data["image_bhw3"].shape
+            # hint tensors when no mesh exists yet). Without images (feature
+            # pipelines) build it at matching res — the volume nearest-resizes
+            # the hint there anyway, so this is exactly equivalent.
+            if "image_bhw3" in cur_data:
+                b, h, w, _ = cur_data["image_bhw3"].shape
+            else:
+                b, h, w = (cur_matching_feats.shape[0],) + tuple(
+                    cur_matching_feats.shape[1:3])
             zero = jnp.zeros((b, h, w, 1), jnp.float32)
             hint = {
                 "depth_hint_bhw1": zero,
@@ -216,6 +288,7 @@ class DepthModelCVHint(DepthModel):
         return super().__call__(
             cur_data, src_data, train=train, flip=flip, return_mask=return_mask,
             hint=hint, src_matching_feats=src_matching_feats,
+            cur_feats=cur_feats, cur_matching_feats=cur_matching_feats,
         )
 
 

@@ -179,7 +179,12 @@ def bench_table():
     print(f"ray table build: marginal {m*1e3:.1f} ms  (times {times})")
 
 
-def bench_integrate(cull=False, frac=0.5, use_pallas=None):
+def bench_integrate(cull=False, frac=0.5, use_pallas=None, look_away=False):
+    """look_away=True points the camera away from the volume: every Pallas
+    sub-tile takes the flag==0 skip path, so the marginal is the kernel's
+    pure streaming + grid/branch overhead — the floor the active-tile work
+    sits on. (The volume is z in [0, 3]; a camera at z=-5 looking toward
+    -z sees none of it.)"""
     from doubletake_tpu.tools.tsdf import FusionConfig, integrate_depth
 
     tsdf = _make_tsdf()
@@ -197,6 +202,14 @@ def bench_integrate(cull=False, frac=0.5, use_pallas=None):
         rng.rand(max_reps, 192, 256, 1).astype(np.float32) * 2 + 0.8)
     poses = np.tile(np.eye(4, dtype=np.float32), (max_reps, 1, 1))
     poses[:, 0, 3] = rng.randn(max_reps) * 0.05
+    if look_away:
+        # cam_T_world: rotate pi about x (cam +z -> world -z), centered at
+        # world z=-5 -> frustum entirely below the volume's z in [0, 3]
+        flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+        for i in range(max_reps):
+            w_T_c = np.eye(4, dtype=np.float32) @ flip
+            w_T_c[2, 3] = -5.0
+            poses[i] = np.linalg.inv(w_T_c)
     poses = jnp.asarray(poses)
     v0 = jax.block_until_ready(tsdf.values)
     w0 = jax.block_until_ready(tsdf.weights)
@@ -216,8 +229,8 @@ def bench_integrate(cull=False, frac=0.5, use_pallas=None):
         return lambda: fn(v0, w0, depths, poses)
 
     m, times = marginal(make_fn)
-    print(f"integrate cull={cull} frac={frac} pallas={use_pallas}: "
-          f"marginal {m*1e3:.1f} ms  (times {times})")
+    print(f"integrate cull={cull} frac={frac} pallas={use_pallas} "
+          f"away={look_away}: marginal {m*1e3:.1f} ms  (times {times})")
 
 
 def bench_forward(compute_dtype="float32", batch=1, compare=False):
@@ -348,6 +361,48 @@ def bench_forward_parts(compute_dtype="float32", batch=1):
         return model.apply(v, x, method=run)
 
     part("cv_encoder+decoder", cvnet_dec, cv_in, extra=tuple(cur_feats))
+
+
+def bench_encode(compute_dtype="bfloat16", batch=1):
+    """Marginal cost of encode_frame (image-prior encoder + matching
+    encoder, the image-only per-frame work) at a given batch — sizes the
+    encode-ahead win: serial cost at b=1 vs amortized cost at the bench's
+    group size (b=12)."""
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from doubletake_tpu.checkpoints.io import cast_floating
+    from doubletake_tpu.models.depth_model import DepthModelCVHint
+
+    H, W = 384, 512
+    model = DepthModelCVHint(fast_cost_volume=True, compute_dtype=compute_dtype)
+    rng = np.random.RandomState(0)
+    from __graft_entry__ import _example_batch
+    cur, src = _example_batch(1, H, W, model.model_num_views)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur, src)
+    if compute_dtype == "bfloat16":
+        variables = cast_floating(variables, jnp.bfloat16)
+    imgs = jnp.asarray(rng.randn(batch, H, W, 3), jnp.float32)
+
+    def make_fn(reps):
+        @jax.jit
+        def f(v, x):
+            out = None
+            for _ in range(reps):
+                out = model.apply(v, x, method=lambda m, xx: m.encode_frame(xx))
+                x = x + out[1].reshape(-1)[0].astype(x.dtype) * 1e-30
+            return out
+
+        ctr = [0]
+
+        def call():
+            ctr[0] += 1
+            return f(variables, imgs * (1.0 + ctr[0] * 1e-7))
+
+        return call
+
+    m, times = marginal(make_fn)
+    print(f"encode_frame b={batch} {compute_dtype}: marginal {m*1e3:.2f} ms "
+          f"({m*1e3/batch:.2f} ms/map)  (times {times})")
 
 
 def bench_cv_pieces(batch=8):
@@ -538,6 +593,8 @@ def main():
         bench_integrate()
     if "integrate_pallas" in which:
         bench_integrate(use_pallas=True)
+    if "integrate_away" in which:
+        bench_integrate(use_pallas=True, look_away=True)
     if "integrate_xla" in which:
         bench_integrate(use_pallas=False)
     if "integrate_cull" in which:
@@ -564,6 +621,9 @@ def main():
         bench_forward("bfloat16", batch=8)
     if "cv_pieces" in which:
         bench_cv_pieces()
+    if "encode" in which:
+        bench_encode(batch=1)
+        bench_encode(batch=12)
     if "forward_parts" in which:
         bench_forward_parts()
     if "forward_parts_bf16" in which:

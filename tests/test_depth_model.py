@@ -148,3 +148,80 @@ def test_cached_src_matching_feats_bit_identical():
         np.asarray(out["depth_pred_s0_bhw1"]), np.asarray(ref["depth_pred_s0_bhw1"])
     )
     assert out["matching_feats_bhwc"].shape == (b,) + feats.shape[1:]
+
+
+def test_encode_ahead_bit_identical():
+    """The encode-ahead pipeline (encoders hoisted out of the sequential
+    chain and batched over upcoming frames) must be a pure computation
+    reuse: feeding encode_frame's outputs back via cur_feats /
+    cur_matching_feats reproduces the image-path forward exactly."""
+    cur_data, src_data = make_batch()
+    model = DepthModelCVHint(
+        image_encoder_name="resnet18d",
+        depth_decoder_name="skip",
+        matching_encoder_type="resnet",
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur_data, src_data)
+
+    ref = jax.jit(model.apply)(variables, cur_data, src_data)
+
+    cur_feats, cur_mfeats = jax.jit(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: m.encode_frame(xx)))(
+        variables, cur_data["image_bhw3"])
+
+    src_imgs = src_data["image_bkhw3"]
+    b, k = src_imgs.shape[:2]
+    feats = jax.jit(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: m.matching_model(xx)))(
+        variables, src_imgs.reshape((b * k,) + src_imgs.shape[2:]))
+    src_feats = feats.reshape((b, k) + feats.shape[1:])
+
+    out = jax.jit(lambda v, c, s, f, cf, cm: model.apply(
+        v, c, s, src_matching_feats=f, cur_feats=cf, cur_matching_feats=cm))(
+        variables, cur_data, src_data, src_feats, cur_feats, cur_mfeats)
+    np.testing.assert_array_equal(
+        np.asarray(out["depth_pred_s0_bhw1"]), np.asarray(ref["depth_pred_s0_bhw1"])
+    )
+
+    # cur_matching_feats alone (src views through the image path) is also
+    # exact — the partial-cache shape runners hit on cache misses
+    out2 = jax.jit(lambda v, c, s, cm: model.apply(
+        v, c, s, cur_matching_feats=cm))(
+        variables, cur_data, src_data, cur_mfeats)
+    np.testing.assert_array_equal(
+        np.asarray(out2["depth_pred_s0_bhw1"]), np.asarray(ref["depth_pred_s0_bhw1"])
+    )
+
+
+def test_image_free_forward_bit_identical():
+    """With all features precomputed, the forward accepts cur/src dicts
+    WITHOUT image tensors (the scan-pipeline shape: xs carry ~5 MB of
+    features per frame instead of ~230 MB of stacked images) and matches
+    the image-path forward exactly."""
+    cur_data, src_data = make_batch()
+    model = DepthModelCVHint(
+        image_encoder_name="resnet18d",
+        depth_decoder_name="skip",
+        matching_encoder_type="resnet",
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), cur_data, src_data)
+    ref = jax.jit(model.apply)(variables, cur_data, src_data)
+
+    cur_feats, cur_mfeats = jax.jit(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: m.encode_frame(xx)))(
+        variables, cur_data["image_bhw3"])
+    src_imgs = src_data["image_bkhw3"]
+    b, k = src_imgs.shape[:2]
+    feats = jax.jit(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: m.matching_model(xx)))(
+        variables, src_imgs.reshape((b * k,) + src_imgs.shape[2:]))
+    src_feats = feats.reshape((b, k) + feats.shape[1:])
+
+    cur_noimg = {k_: v for k_, v in cur_data.items() if k_ != "image_bhw3"}
+    src_noimg = {k_: v for k_, v in src_data.items() if k_ != "image_bkhw3"}
+    out = jax.jit(lambda v, c, s, f, cf, cm: model.apply(
+        v, c, s, src_matching_feats=f, cur_feats=cf, cur_matching_feats=cm))(
+        variables, cur_noimg, src_noimg, src_feats, cur_feats, cur_mfeats)
+    np.testing.assert_array_equal(
+        np.asarray(out["depth_pred_s0_bhw1"]), np.asarray(ref["depth_pred_s0_bhw1"])
+    )
