@@ -117,6 +117,7 @@ class DepthModel(nn.Module):
         src_matching_feats: Optional[Any] = None,
         cur_feats: Optional[Any] = None,
         cur_matching_feats: Optional[Any] = None,
+        stop_after: Optional[str] = None,
     ):
         """Forward pass.
 
@@ -138,6 +139,11 @@ class DepthModel(nn.Module):
             image-only work hoisted out of the sequential hint->forward->fuse
             chain and batched over upcoming frames). Bit-identical to the
             in-call encoders. Inference-only (flip must be False).
+        stop_after: profiling diagnostic — "cost_volume" returns right after
+            the cost volume, "cv_encoder" after the CVEncoder. Stage-marginal
+            benches (scripts/bench_incremental_parts.py) subtract these
+            partial forwards to attribute in-context time to CV vs CVEncoder
+            vs decoder. Never set in production paths.
         """
         dtype = jnp.dtype(self.compute_dtype)
         # Image tensors are OPTIONAL when the corresponding features are
@@ -238,10 +244,16 @@ class DepthModel(nn.Module):
         )
 
         cost_volume_bhwd = _maybe_flip(cost_volume_bhwd, flip, 2)
+        if stop_after == "cost_volume":
+            return {"cost_volume_bhwd": cost_volume_bhwd,
+                    "matching_feats_bhwc": matching_cur_feats}
 
         cv_feats = self.cost_volume_net(
             cost_volume_bhwd, cur_feats[self.matching_scale:]
         )
+        if stop_after == "cv_encoder":
+            return {"cv_feats": cv_feats,
+                    "matching_feats_bhwc": matching_cur_feats}
         decoder_inputs = list(cur_feats[: self.matching_scale]) + cv_feats
 
         outputs = dict(self.depth_decoder(decoder_inputs))
@@ -268,7 +280,7 @@ class DepthModelCVHint(DepthModel):
 
     def __call__(self, cur_data, src_data, train=False, flip=False, return_mask=False,
                  hint=None, src_matching_feats=None, cur_feats=None,
-                 cur_matching_feats=None):
+                 cur_matching_feats=None, stop_after=None):
         if hint is None:
             # empty hints: invalid everywhere (reference feeds all-invalid
             # hint tensors when no mesh exists yet). Without images (feature
@@ -289,6 +301,7 @@ class DepthModelCVHint(DepthModel):
             cur_data, src_data, train=train, flip=flip, return_mask=return_mask,
             hint=hint, src_matching_feats=src_matching_feats,
             cur_feats=cur_feats, cur_matching_feats=cur_matching_feats,
+            stop_after=stop_after,
         )
 
 

@@ -84,7 +84,7 @@ def _transpose(mat_rc, identity_cc):
     )
 
 
-def _sample_tile(ix, iy, needf, x0, bxn, depth_vmem, consts, hp):
+def _sample_tile(ix, iy, needf, x0, bxn, depth_vmem, consts, hp, wp):
     """Nearest-sample the depth image at (iy, ix) for one (ROWS, L)
     sub-tile via stacked one-hot matmuls. needf gates contributions (0/1);
     gated-out voxels sample 0 (the XLA path's where(in_img, ., 0)).
@@ -115,9 +115,29 @@ def _sample_tile(ix, iy, needf, x0, bxn, depth_vmem, consts, hp):
         axis=0,
     ).astype(jnp.bfloat16)                                # (RL, bxn)
 
-    band = depth_vmem[pl.ds(pl.multiple_of(x0.astype(jnp.int32), 16), bxn), :]
-    A = jnp.dot(Wx, band, preferred_element_type=jnp.float32)  # (RL, 2Hp)
-    R1 = A[:, :hp] + A[:, hp:]                            # exact f32 depth
+    # hi/lo recombination INSIDE the matmul: the depth stack holds the bf16
+    # hi rows at [0, wp) and the lo rows at [wp, 2wp) (same x layout), so
+    # contracting [Wx | Wx] against the two sublane bands sums the exact
+    # products in the MXU's f32 accumulator — one matmul of K=2*bxn (128 at
+    # the default band: full systolic depth vs 50% at K=64), HALF the
+    # output lanes of the former [hi | lo]-along-lanes form, and no
+    # (RL, hp)+(RL, hp) VPU recombination pass afterwards.
+    x0i = x0.astype(jnp.int32)
+    band = jnp.concatenate(
+        [depth_vmem[pl.ds(pl.multiple_of(x0i, 16), bxn), :],
+         depth_vmem[pl.ds(pl.multiple_of(x0i + wp, 16), bxn), :]], axis=0,
+    )
+    Wx2 = jnp.concatenate([Wx, Wx], axis=1)               # (RL, 2*bxn)
+    R1 = jnp.dot(Wx2, band, preferred_element_type=jnp.float32)  # (RL, Hp)
+
+    import os as _os
+    if _os.environ.get("DT_SKIP_YSEL"):
+        # Timing ablation ONLY (trace-time, like DT_FORCE_FLAG): skip the
+        # per-row y-select loop, returning garbage of the right shape —
+        # isolates the loop's cost from the sampling matmul's. Corrupts
+        # results; never set outside scripts/probe_integrate_parts.py.
+        return _transpose(R1[:L, :R], id_r) * 0.0 + _transpose(
+            R1[L:2 * L, :R] if 2 * L <= R1.shape[0] else R1[:L, :R], id_r)
 
     # y-select per row -> (L, R), then one transpose back to (R, L). The
     # transpose matmul runs at bf16 operand precision on the MXU, which
@@ -143,7 +163,7 @@ def _sample_tile(ix, iy, needf, x0, bxn, depth_vmem, consts, hp):
 
 
 def _kernel(
-    vals_ref, wts_ref, depth_any_ref, scal_ref, x0_ref, flags_ref,
+    ids_ref, vals_ref, wts_ref, depth_any_ref, scal_ref, x0_ref, flags_ref,
     outv_ref, outw_ref,
     depth_vmem, samp_vmem, copy_sem,
     *, Y: int, Z: int, H: int, W: int, hp: int, wp: int, block_rows: int,
@@ -151,6 +171,11 @@ def _kernel(
     trunc_check: float, w_rate: float, debug_out: bool = False,
 ):
     b = pl.program_id(0)
+    # The BLOCK this step processes: ids_ref[b], NOT the grid step index —
+    # the block-sparse grid visits blocks out of order (active first), and
+    # the voxel coordinates below must be those of the block actually in
+    # VMEM (the index maps deliver vals/wts/x0/flags for ids_ref[b]).
+    blk = ids_ref[b]
 
     @pl.when(b == 0)
     def _copy_depth():
@@ -187,7 +212,7 @@ def _kernel(
 
     for g in range(block_rows // R):
         _row_group(
-            g, b * block_rows + g * R, vals_ref, wts_ref, outv_ref, outw_ref,
+            g, blk * block_rows + g * R, vals_ref, wts_ref, outv_ref, outw_ref,
             depth_vmem, samp_vmem, x0_ref, flags_ref, tiles, tile_consts, p,
             (ox, oy, oz, vs), Y=Y, H=H, W=W, hp=hp, wp=wp,
             min_depth=min_depth, max_depth=max_depth, truncation=truncation,
@@ -256,13 +281,13 @@ def _row_group(
         @pl.when(flag == 1)
         def _banded():
             samp_vmem[:, :L] = _sample_tile(
-                ix, iy, needf, x0f, BX, depth_vmem, consts, hp
+                ix, iy, needf, x0f, BX, depth_vmem, consts, hp, wp
             )
 
         @pl.when(flag == 2)
         def _full():
             samp_vmem[:, :L] = _sample_tile(
-                ix, iy, needf, jnp.float32(0.0), wp, depth_vmem, consts, hp
+                ix, iy, needf, jnp.float32(0.0), wp, depth_vmem, consts, hp, wp
             )
 
         @pl.when(flag == 0)
@@ -278,31 +303,43 @@ def _row_group(
             z_off += L
             continue
 
-        # ---- _voxel_update math, elementwise ----
-        conf = jnp.clip(
-            1.0 - (sampled - min_depth) / (max_depth - min_depth), 0.25, 1.0
-        )
-        conf = conf * conf
-        dist = sampled - zc
-        tsdfv = jnp.clip(dist / truncation, -1.0, 1.0)
-        valid = (zc > 0) & (dist > trunc_check) & (sampled > 0) & (zc < max_depth)
-        new_w = conf * w_rate
-        old_v = vals_ref[g * R:(g + 1) * R, z_off:z_off + L]
-        old_w = wts_ref[g * R:(g + 1) * R, z_off:z_off + L]
-        total = old_w + new_w
-        fused = (old_v * old_w + tsdfv * new_w) / total
-        vparts.append(jnp.where(valid, fused, old_v))
-        wparts.append(jnp.where(valid, jnp.minimum(total, 1.0), old_w))
+        vparts.append(sampled)
+        wparts.append(zc)
         z_off += L
 
-    outv_ref[g * R:(g + 1) * R, :] = jnp.concatenate(vparts, axis=1)
-    outw_ref[g * R:(g + 1) * R, :] = jnp.concatenate(wparts, axis=1)
+    if debug_out:
+        outv_ref[g * R:(g + 1) * R, :] = jnp.concatenate(vparts, axis=1)
+        outw_ref[g * R:(g + 1) * R, :] = jnp.concatenate(wparts, axis=1)
+        return
+
+    # ---- _voxel_update math, ONE full-width (R, Z) elementwise pass ----
+    # The per-(R, LSUB)-tile form ran every VPU op at 32 of 128 lanes and
+    # issued ~15 ops per tile; concatenating the per-tile samples/zc first
+    # runs the same math once per row group at full lane occupancy.
+    sampled = jnp.concatenate(vparts, axis=1)             # (R, Z)
+    zc = jnp.concatenate(wparts, axis=1)                  # (R, Z)
+    conf = jnp.clip(
+        1.0 - (sampled - min_depth) / (max_depth - min_depth), 0.25, 1.0
+    )
+    conf = conf * conf
+    dist = sampled - zc
+    tsdfv = jnp.clip(dist / truncation, -1.0, 1.0)
+    valid = (zc > 0) & (dist > trunc_check) & (sampled > 0) & (zc < max_depth)
+    new_w = conf * w_rate
+    old_v = vals_ref[g * R:(g + 1) * R, :]
+    old_w = wts_ref[g * R:(g + 1) * R, :]
+    total = old_w + new_w
+    fused = (old_v * old_w + tsdfv * new_w) / total
+    outv_ref[g * R:(g + 1) * R, :] = jnp.where(valid, fused, old_v)
+    outw_ref[g * R:(g + 1) * R, :] = jnp.where(
+        valid, jnp.minimum(total, 1.0), old_w)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("voxel_size", "min_depth", "max_depth", "truncation",
-                     "trunc_check", "w_rate", "interpret", "debug_out"),
+                     "trunc_check", "w_rate", "interpret", "debug_out",
+                     "sparse"),
 )
 def fused_integrate(
     values_xyz,
@@ -319,6 +356,7 @@ def fused_integrate(
     w_rate: float,
     interpret: bool = False,
     debug_out: bool = False,
+    sparse: bool = True,
 ):
     """One TSDF fusion step on the full volume. Exact ``_voxel_update``
     math (bar fma noise and <=2e-5 m hi/lo recombination error); returns
@@ -354,8 +392,10 @@ def fused_integrate(
     )
     hi = hi_f32.astype(jnp.bfloat16)
     lo = (depth - hi_f32).astype(jnp.bfloat16)
-    stack = jnp.zeros((wp, 2 * hp), jnp.bfloat16)
-    stack = stack.at[:W, :H].set(hi.T).at[:W, hp:hp + H].set(lo.T)
+    # hi rows at [0, wp), lo rows at [wp, 2wp): the kernel contracts
+    # [Wx | Wx] against both bands in ONE K-stacked matmul (see _sample_tile)
+    stack = jnp.zeros((2 * wp, hp), jnp.bfloat16)
+    stack = stack.at[:W, :H].set(hi.T).at[wp:wp + W, :H].set(lo.T)
 
     scal = jnp.concatenate(
         [P_34.reshape(-1).astype(jnp.float32),
@@ -450,6 +490,49 @@ def fused_integrate(
             )
         flag_arr = jnp.full_like(flag_arr, forced)
 
+    # ---- block-sparse grid: visit only blocks with >=1 non-skip sub-tile ----
+    # The flags already skip the sampling matmuls for out-of-frustum
+    # sub-tiles, but every (br, Z) block was still DMA'd HBM->VMEM->HBM
+    # (the whole 148 MB volume, twice, per frame). With a scalar-prefetched
+    # block-id list the grid processes the ACTIVE blocks first (ascending
+    # id) and the trailing slots revisit one inactive block: Pallas
+    # elides both copies when consecutive steps map to the same block, so
+    # padded steps are ~free, and `input_output_aliases` means unvisited
+    # blocks simply retain their HBM contents (exactly the skip result:
+    # flag 0 => sampled 0 => valid False => old values written back).
+    # Grid size stays static (nb) so per-shape compiles are unchanged.
+    if sparse and not debug_out:
+        block_active = jnp.any(flag_arr != 0, axis=(1, 2))        # (nb,)
+        count = jnp.sum(block_active.astype(jnp.int32))
+        order = jnp.argsort(
+            jnp.logical_not(block_active), stable=True
+        ).astype(jnp.int32)
+        if interpret:
+            # The interpreter neither elides same-index copies nor defers
+            # the output flush, so a trailing repeat would re-read the
+            # aliased (already updated) block and integrate it twice. The
+            # full permutation (every block exactly once, active first) is
+            # output-identical and exercises the same prefetch plumbing.
+            block_ids = order
+        else:
+            # Repeat padding is idempotent ON TPU by the pipeline's revisit
+            # contract (jax/_src/pallas/mosaic/pipeline.py: copies and
+            # flushes fire only when the block indices CHANGE): the repeats
+            # recompute from the unchanged VMEM input block and the single
+            # final flush writes that same result. Pad with an INACTIVE
+            # block (order[-1]), not the last active one: an inactive
+            # block's flags are all skip, so each repeat costs only the
+            # per-sub-tile flag checks (~us) instead of re-running a full
+            # 64-row sampling pass per padded step (measured: last-active
+            # padding cost +2 ms at 95% coverage — worse than dense).
+            # When every block is active (count == nb) there are no padded
+            # steps, so order[-1] being active is harmless.
+            block_ids = jnp.where(
+                jnp.arange(nb, dtype=jnp.int32) < count, order, order[-1]
+            )
+    else:
+        block_ids = jnp.arange(nb, dtype=jnp.int32)
+
     kern = functools.partial(
         _kernel, Y=Y, Z=Z, H=H, W=W, hp=hp, wp=wp, block_rows=br,
         min_depth=float(min_depth), max_depth=float(max_depth),
@@ -458,33 +541,39 @@ def fused_integrate(
     )
     nv, nw = pl.pallas_call(
         kern,
-        grid=(X * Y // br,),
-        in_specs=[
-            pl.BlockSpec((br, Z), lambda b: (b, 0)),
-            pl.BlockSpec((br, Z), lambda b: (b, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, br // ROWS, len(tiles_l)),
-                         lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, br // ROWS, len(tiles_l)),
-                         lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((br, Z), lambda b: (b, 0)),
-            pl.BlockSpec((br, Z), lambda b: (b, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((br, Z), lambda b, ids: (ids[b], 0)),
+                pl.BlockSpec((br, Z), lambda b, ids: (ids[b], 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, br // ROWS, len(tiles_l)),
+                             lambda b, ids: (ids[b], 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, br // ROWS, len(tiles_l)),
+                             lambda b, ids: (ids[b], 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((br, Z), lambda b, ids: (ids[b], 0)),
+                pl.BlockSpec((br, Z), lambda b, ids: (ids[b], 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2 * wp, hp), jnp.bfloat16),
+                pltpu.VMEM((ROWS, LSUB), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((X * Y, Z), jnp.float32),
             jax.ShapeDtypeStruct((X * Y, Z), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((wp, 2 * hp), jnp.bfloat16),
-            pltpu.VMEM((ROWS, LSUB), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        input_output_aliases={0: 0, 1: 1},
+        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
     )(
+        block_ids,
         values_xyz.reshape(X * Y, Z),
         weights_xyz.reshape(X * Y, Z),
         stack,

@@ -229,9 +229,40 @@ def main():
         )
         return tsdf, ring, depth[0, 0, 0, 0]
 
+    def _make_body_ea_stop(stop_after):
+        """Encode-ahead body with the forward truncated at `stop_after`
+        (see DepthModel.__call__): full_ea - ea_cvenc = decoder,
+        ea_cvenc - ea_cv = CVEncoder, ea_cv - hint_fuse ~= cost volume —
+        each in the REAL scanned context (same hint raycast, same fuse)."""
+        def body(variables, tsdf, ring, cur, src, ridx, ea):
+            cf, mf = ea
+            hint = make_hint(tsdf, cur)
+            out = model.apply(
+                variables, cur, src, hint=hint,
+                src_matching_feats=ring[ridx][None],
+                cur_feats=tuple(f[None] for f in cf),
+                cur_matching_feats=mf[None],
+                stop_after=stop_after,
+            )
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            ring = jnp.concatenate([ring[1:], mf[None]], axis=0)
+            # fuse a constant-depth frame perturbed by the partial forward:
+            # the truncated model cannot be dead-coded and the fuse stage
+            # stays shape-identical to full_ea's
+            perturb = jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+            tsdf = integrate_depth(
+                tsdf,
+                jnp.full((H // 2, W // 2, 1), 2.0, jnp.float32) + perturb,
+                cur["cam_T_world_b44"][0], cur["K_s0_b44"][0], cfg,
+            )
+            return tsdf, ring, perturb
+        return body
+
     BODIES = {
         "full": (body_full, False),
         "full_ea": (body_full_ea, "ea"),
+        "ea_cv": (_make_body_ea_stop("cost_volume"), "ea"),
+        "ea_cvenc": (_make_body_ea_stop("cv_encoder"), "ea"),
         "fwd_fuse": (body_fwd_fuse, False),
         "hint_fuse": (body_hint_fuse, True),
         "fuse_only": (body_fuse_only, True),

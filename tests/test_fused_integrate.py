@@ -167,6 +167,39 @@ def test_fused_integrate_nan_depth_isolated():
     assert float(np.asarray(fw).max()) > 0.01
 
 
+def test_fused_integrate_sparse_matches_dense():
+    """Block-sparse grid (scalar-prefetched block ids, active blocks first)
+    must be bit-identical to the dense identity-order grid: the same blocks
+    run the same math, only the visit order differs. The camera pose leaves
+    a sizeable fraction of blocks inactive, so the permutation is
+    non-trivial. (Repeat-padding elision is a TPU pipeline contract and is
+    verified on-chip by scripts/probe_sparse_integrate.py; interpret mode
+    uses the full permutation.)"""
+    tsdf = TSDF.from_bounds(
+        dict(xmin=-0.4, xmax=0.88, ymin=-0.3, ymax=0.98, zmin=0.0, zmax=2.56),
+        0.04,
+    )
+    cfg = FusionConfig(min_depth=0.4, max_depth=3.0)
+    depth = _smooth_depth()
+    cam_T_world = np.linalg.inv(_camera()).astype(np.float32)
+    P_34 = jnp.matmul(jnp.asarray(_K()), jnp.asarray(cam_T_world))[:3]
+    trunc = cfg.truncation_voxels * tsdf.voxel_size
+    kw = dict(
+        voxel_size=tsdf.voxel_size, min_depth=cfg.min_depth,
+        max_depth=cfg.max_depth, truncation=trunc, trunc_check=-trunc,
+        w_rate=cfg.update_rate / cfg.max_weight, interpret=True,
+    )
+    sv, sw = fused_integrate(
+        tsdf.values, tsdf.weights, jnp.asarray(depth)[..., 0], P_34,
+        tsdf.origin, sparse=True, **kw)
+    dv, dw = fused_integrate(
+        tsdf.values, tsdf.weights, jnp.asarray(depth)[..., 0], P_34,
+        tsdf.origin, sparse=False, **kw)
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(sw), np.asarray(dw))
+    assert float(np.asarray(sw).max()) > 0.01
+
+
 def test_integrate_depth_pallas_gate_cpu():
     """On CPU the auto gate must keep the XLA path (pallas interpret is not
     requested implicitly)."""
